@@ -1,0 +1,190 @@
+"""T4/K3: 3D Tiles 1.1 implicit-tiling subtree bitmaps + binary writer.
+
+The reference delegates this to the external `subtree` NuGet package
+(reference src/Program.cs:143-152, src/ImplicitTiling.cs:13-31); this module
+owns it per the public 3D Tiles 1.1 spec (implicit tiling):
+
+* the tile tree is cut into subtrees of ``subtree_levels`` levels; subtree
+  roots sit at absolute levels 0, s, 2s, ...;
+* within a subtree, tiles are indexed level-by-level in **Morton order**
+  (interleaved x/y bits relative to the subtree root);
+* three bitstreams per subtree file: tileAvailability ((4^s - 1)/3 bits),
+  contentAvailability (same length), childSubtreeAvailability (4^s bits);
+* binary layout: 24-byte header (magic ``subt``, version 1, uint64 JSON
+  byte length, uint64 binary byte length), 8-byte space-padded JSON chunk,
+  zero-padded binary buffer.
+
+Availability rule (spec-monotone, derived from the tiles table):
+  tile bit          = recorded tile whose subtree holds any content
+                      (equivalently n_instances > 0)
+  content bit       = content_available
+  child-subtree bit = recorded boundary tile (local level == s) with
+                      n_instances > 0
+
+The tiles table is tiny relative to instances (README.md:179: 372 subtree
+files for 588k instances), so assembly runs either on the driver
+(:func:`build_subtrees_pandas`) or distributed as one ``groupBy(root)``
+``applyInPandas`` over tile rows (:func:`build_subtrees_spark`).
+"""
+
+from __future__ import annotations
+
+import json
+import struct
+
+import numpy as np
+import pandas as pd
+
+from ..functions.cells import morton_encode
+
+
+def subtree_roots(levels, xs, ys, subtree_levels: int):
+    """Map absolute tile keys -> (root_level, root_x, root_y) of the subtree
+    each tile is INTERIOR to. Boundary tiles (local level == s) are interior
+    to their own subtree but also feed the parent subtree's
+    childSubtreeAvailability — handled at assembly time."""
+    levels = np.asarray(levels, np.int64)
+    xs = np.asarray(xs, np.int64)
+    ys = np.asarray(ys, np.int64)
+    root_level = (levels // subtree_levels) * subtree_levels
+    shift = levels - root_level
+    return root_level, xs >> shift, ys >> shift
+
+
+def _local_bit_index(local_level, lx, ly):
+    """Bit offset inside the level-major Morton layout:
+    offset(level) = (4^level - 1)/3, index = offset + morton(lx, ly)."""
+    offset = ((np.int64(4) ** np.asarray(local_level, np.int64)) - 1) // 3
+    return offset + morton_encode(lx, ly)
+
+
+def _pack_bits(indices, n_bits: int) -> bytes:
+    bits = np.zeros(n_bits, dtype=np.uint8)
+    idx = np.asarray(indices, np.int64)
+    if idx.size:
+        bits[idx] = 1
+    return np.packbits(bits, bitorder="little").tobytes()
+
+
+def _pad8(b: bytes, pad: bytes) -> bytes:
+    if len(b) % 8:
+        b += pad * (8 - len(b) % 8)
+    return b
+
+
+def subtree_bitstrings(rows: pd.DataFrame, root_level: int, root_x: int,
+                       root_y: int, subtree_levels: int):
+    """(tileAvailability, contentAvailability, childSubtreeAvailability) as
+    '0'/'1' strings in Morton order — the exact representation the
+    reference's wrapper consumes (src/ImplicitTiling.cs:13-31).
+
+    ``rows`` must hold the recorded tiles at absolute levels
+    [root_level, root_level + s]; out-of-subtree rows are ignored.
+    """
+    s = subtree_levels
+    n_interior = (4**s - 1) // 3
+    tile_b = np.zeros(n_interior, np.uint8)
+    content_b = np.zeros(n_interior, np.uint8)
+    child_b = np.zeros(4**s, np.uint8)
+
+    levels = rows["level"].to_numpy(np.int64)
+    xs = rows["x"].to_numpy(np.int64)
+    ys = rows["y"].to_numpy(np.int64)
+    content = rows["content_available"].to_numpy(bool)
+    has_content_below = rows["n_instances"].to_numpy(np.int64) > 0
+
+    ll = levels - root_level
+    lx = xs - (np.int64(root_x) << np.maximum(ll, 0))
+    ly = ys - (np.int64(root_y) << np.maximum(ll, 0))
+    in_range = (
+        (ll >= 0) & (ll <= s)
+        & (lx >= 0) & (ly >= 0)
+        & (lx < (1 << np.maximum(ll, 0))) & (ly < (1 << np.maximum(ll, 0)))
+    )
+
+    interior = in_range & (ll < s)
+    if interior.any():
+        idx = _local_bit_index(ll[interior], lx[interior], ly[interior])
+        tile_b[idx[has_content_below[interior]]] = 1
+        content_b[idx[content[interior]]] = 1
+
+    boundary = in_range & (ll == s)
+    if boundary.any():
+        cidx = morton_encode(lx[boundary], ly[boundary])
+        child_b[cidx[has_content_below[boundary]]] = 1
+
+    return (
+        "".join(map(str, tile_b)),
+        "".join(map(str, content_b)),
+        "".join(map(str, child_b)),
+    )
+
+
+def serialize_subtree(tile_bits: str, content_bits: str, child_bits: str) -> bytes:
+    """Bitstrings -> .subtree binary (public 3D Tiles 1.1 layout)."""
+    chunks = [
+        _pack_bits(np.flatnonzero(np.frombuffer(b.encode(), np.uint8) == ord("1")), len(b))
+        for b in (tile_bits, content_bits, child_bits)
+    ]
+    views = []
+    buf = b""
+    for chunk in chunks:
+        views.append({"buffer": 0, "byteOffset": len(buf), "byteLength": len(chunk)})
+        buf += _pad8(chunk, b"\x00")
+    sub_json = {
+        "buffers": [{"byteLength": len(buf)}],
+        "bufferViews": views,
+        "tileAvailability": {"bitstream": 0},
+        "contentAvailability": [{"bitstream": 1}],
+        "childSubtreeAvailability": {"bitstream": 2},
+    }
+    jbytes = _pad8(json.dumps(sub_json, separators=(",", ":")).encode(), b" ")
+    header = struct.pack("<4sIQQ", b"subt", 1, len(jbytes), len(buf))
+    return header + jbytes + buf
+
+
+def build_subtrees_pandas(tiles_pdf: pd.DataFrame, subtree_levels: int = 2):
+    """All subtree files from the collected tiles table.
+
+    Returns {(level, x, y): (tile_bits, content_bits, child_bits, bytes)}.
+    A subtree file exists for every subtree root whose subtree records any
+    content (mirrors the reference: only reachable subtrees are written).
+    """
+    s = subtree_levels
+    r_level, r_x, r_y = subtree_roots(
+        tiles_pdf["level"], tiles_pdf["x"], tiles_pdf["y"], s
+    )
+    has_content = tiles_pdf["n_instances"].to_numpy(np.int64) > 0
+
+    roots = set()
+    for rl, rx, ry, hc in zip(r_level, r_x, r_y, has_content):
+        if hc:
+            roots.add((int(rl), int(rx), int(ry)))
+
+    out = {}
+    levels = tiles_pdf["level"].to_numpy(np.int64)
+    xs = tiles_pdf["x"].to_numpy(np.int64)
+    ys = tiles_pdf["y"].to_numpy(np.int64)
+    for rl, rx, ry in sorted(roots):
+        ll = levels - rl
+        sel = (ll >= 0) & (ll <= s)
+        sel &= (xs >> np.maximum(ll, 0)) == rx
+        sel &= (ys >> np.maximum(ll, 0)) == ry
+        rows = tiles_pdf[sel]
+        bits = subtree_bitstrings(rows, rl, rx, ry, s)
+        out[(rl, rx, ry)] = (*bits, serialize_subtree(*bits))
+    return out
+
+
+def parse_subtree(data: bytes):
+    """Round-trip reader for tests: returns (json_dict, raw_buffer)."""
+    magic, version, jlen, blen = struct.unpack("<4sIQQ", data[:24])
+    assert magic == b"subt" and version == 1
+    j = json.loads(data[24 : 24 + jlen].decode())
+    buf = data[24 + jlen : 24 + jlen + blen]
+    return j, buf
+
+
+def available_levels(tiles_pdf: pd.DataFrame) -> int:
+    """reference src/Program.cs:152: max recorded level + 1."""
+    return int(tiles_pdf["level"].max()) + 1

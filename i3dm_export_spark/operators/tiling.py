@@ -1,0 +1,249 @@
+"""Stage 2/3: quadtree build + leaf assignment (T1/T2/A1, J1).
+
+The reference descends depth-first, issuing one COUNT per visited node and
+one instance fetch per produced tile against PostGIS — O(nodes) round trips
+(src/ImplicitTiling.cs:33-113). The Spark-first redesign (SURVEY.md §3.2):
+
+* **one shuffle over instances total** for the whole tree: every instance
+  gets its deep-level cell key (pure projection, T1 closed form), then one
+  ``groupBy(x_deep, y_deep).count()``;
+* counts at every shallower level are **roll-ups of cell counts** (tiny
+  DataFrames, one cheap shuffle per level on cells-not-instances);
+* the split decision (T2) cascades top-down over the per-level count
+  DataFrames — children of split parents left-join the next level's counts
+  so empty children are recorded unavailable, exactly like the reference's
+  count==0 branch (src/ImplicitTiling.cs:39-44);
+* leaf assignment (J1) is an equi-join of instances against content-tile
+  keys computed on the point side — no spatial join operator needed for the
+  rectangular quadtree (SURVEY.md §2.3).
+
+At 10^12 rows nothing here requires a driver-side materialization of
+instances; the per-level tile tables stay DataFrames until `collect_tiles`
+(which the sandbox uses for subtree/tileset emission, bounded by tile count
+not instance count).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..config import Bounds, ExportOptions
+
+TILE_SCHEMA_COLS = ("level", "x", "y", "available", "content_available", "n_instances")
+
+
+def with_cell_keys(
+    df: DataFrame, bounds: Bounds, level: int, lon="lon", lat="lat",
+    x_col="cell_x", y_col="cell_y",
+) -> DataFrame:
+    """T1 closed form as JVM-side column expressions (no UDF): the quadtree
+    cell at ``level`` inside the root bbox; y grows north from ymin
+    (reference src/ImplicitTiling.cs:81-88)."""
+    n = 1 << level
+    fx = (F.col(lon) - F.lit(bounds.xmin)) / F.lit(bounds.xmax - bounds.xmin) * n
+    fy = (F.col(lat) - F.lit(bounds.ymin)) / F.lit(bounds.ymax - bounds.ymin) * n
+    cx = F.least(F.greatest(F.floor(fx), F.lit(0)), F.lit(n - 1)).cast("bigint")
+    cy = F.least(F.greatest(F.floor(fy), F.lit(0)), F.lit(n - 1)).cast("bigint")
+    return df.withColumn(x_col, cx).withColumn(y_col, cy)
+
+
+@dataclass
+class TileTree:
+    """Result of the stage-2 build."""
+
+    tiles: DataFrame          # (level, x, y, available, content_available, n_instances)
+    deep_level: int           # level of the instance cell keys used
+    bounds: Bounds
+    max_content_level: int    # deepest level holding content
+
+
+def deep_counts(df: DataFrame, bounds: Bounds, deep_level: int, query: str = "") -> DataFrame:
+    """A1: ONE shuffle over instances -> (cell_x, cell_y, cnt) at deep_level.
+
+    This replaces the reference's per-node COUNT queries
+    (src/ImplicitTiling.cs:37 + src/InstancesRepository.cs:13-30) with a
+    single map-side-combined hash aggregation over all tiles at once.
+    """
+    if query:
+        df = df.filter(F.expr(query))  # P2 passthrough
+    return (
+        with_cell_keys(df, bounds, deep_level)
+        .groupBy("cell_x", "cell_y")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def rollup_counts(counts: DataFrame) -> DataFrame:
+    """Counts one level up: children (2x+dx, 2y+dy) sum into (x, y).
+
+    Exact by construction: the closed-form key at level L equals the level
+    L+1 key right-shifted by one (power-of-two scaling is exact in IEEE754;
+    proven in tests/test_cells.py against the recursive-midpoint oracle).
+    """
+    return (
+        counts.groupBy(
+            (F.col("cell_x") / 2).cast("bigint").alias("cell_x"),
+            (F.col("cell_y") / 2).cast("bigint").alias("cell_y"),
+        ).agg(F.sum("cnt").alias("cnt"))
+    )
+
+
+def build_tile_tree(
+    instances: DataFrame,
+    bounds: Bounds,
+    opts: ExportOptions,
+    deep_level: int | None = None,
+) -> TileTree:
+    """Stage 2: the full availability tree as a DataFrame.
+
+    T2 decision table (reference src/ImplicitTiling.cs:33-113):
+      cnt == 0                      -> recorded unavailable, no descent
+      cnt >  max & clustering       -> available + content, AND descend
+      cnt >  max & !clustering      -> recorded unavailable interior, descend
+      0 < cnt <= max                -> leaf: available + content
+    Engine deviation (documented): descent is bounded by opts.max_level;
+    an over-full cell at max_level becomes a forced content leaf (the
+    reference recursion is unbounded and would not terminate on >max
+    coincident points).
+    """
+    spark = instances.sparkSession
+
+    # pick a deep level: enough that most leaves resolve, bounded by opts
+    if deep_level is None:
+        deep_level = opts.max_level
+
+    # ONE shuffle over instances; localCheckpoint cuts the lineage so the
+    # iterative per-level plans below stay O(1) for the optimizer (without
+    # this, each level's plan nests all previous levels and Catalyst
+    # re-optimization blows up exponentially with depth).
+    deep = deep_counts(instances, bounds, deep_level, opts.query).localCheckpoint()
+
+    # roll up counts level by level: counts[L] for L = deep_level .. 0
+    # (each a tiny cells-not-instances aggregation, materialized eagerly)
+    counts_by_level: dict[int, DataFrame] = {deep_level: deep}
+    cur = deep
+    for lvl in range(deep_level - 1, -1, -1):
+        cur = rollup_counts(cur).localCheckpoint()
+        counts_by_level[lvl] = cur
+
+    max_feat = opts.max_features_per_tile
+    clustering = opts.use_clustering
+    floor_level = min(opts.max_level, deep_level)
+
+    def decide(cells: DataFrame, lvl: int) -> DataFrame:
+        is_leaf_level = lvl >= floor_level
+        split = (F.col("cnt") > max_feat) & F.lit(not is_leaf_level)
+        forced_leaf = (F.col("cnt") > max_feat) & F.lit(is_leaf_level)
+        content = (
+            ((F.col("cnt") > 0) & (F.col("cnt") <= max_feat))
+            | (split & F.lit(clustering))
+            | forced_leaf
+        )
+        available = content
+        return cells.select(
+            F.lit(lvl).alias("level"),
+            F.col("cell_x").alias("x"),
+            F.col("cell_y").alias("y"),
+            available.alias("available"),
+            content.alias("content_available"),
+            F.col("cnt").alias("n_instances"),
+            split.alias("_split"),
+        )
+
+    # level 0: the root always exists
+    root_cells = counts_by_level[0]
+    level_tiles = [decide(root_cells, 0)]
+    frontier = level_tiles[0].filter("_split").select("x", "y")
+
+    quads = spark.range(4).select(
+        (F.col("id") % 2).alias("dx"), (F.col("id") / 2).cast("bigint").alias("dy")
+    )
+    for lvl in range(1, deep_level + 1):
+        # children of split parents (4 each), left-join counts so empty
+        # children are recorded with cnt=0 (reference :39-44)
+        children = frontier.crossJoin(F.broadcast(quads)).select(
+            (F.col("x") * 2 + F.col("dx")).alias("cell_x"),
+            (F.col("y") * 2 + F.col("dy")).alias("cell_y"),
+        )
+        cells = (
+            children.join(counts_by_level[lvl], ["cell_x", "cell_y"], "left")
+            .fillna(0, subset=["cnt"])
+        )
+        tiles_lvl = decide(cells, lvl).localCheckpoint()
+        level_tiles.append(tiles_lvl)
+        frontier = tiles_lvl.filter("_split").select("x", "y")
+        if frontier.limit(1).count() == 0:
+            break
+
+    tiles = level_tiles[0]
+    for t in level_tiles[1:]:
+        tiles = tiles.unionByName(t)
+    tiles = tiles.drop("_split").persist()
+
+    max_content_level = (
+        tiles.filter("content_available").agg(F.max("level")).collect()[0][0] or 0
+    )
+    return TileTree(tiles=tiles, deep_level=deep_level, bounds=bounds,
+                    max_content_level=max_content_level)
+
+
+def assign_to_content_tiles(
+    instances: DataFrame, tree: TileTree, opts: ExportOptions
+) -> DataFrame:
+    """Stage 3 (J1): instance -> content tile(s) equi-join.
+
+    Each instance is exploded to its ancestor keys only for the levels that
+    actually hold content (typically a narrow band), then inner-joined with
+    the content-tile table on (level, x, y). With clustering off every
+    instance matches exactly one leaf; with clustering on it additionally
+    matches every over-full content ancestor — the same instance multiset
+    the reference fetches per clustered tile (src/ImplicitTiling.cs:53).
+
+    One shuffle; the content-tile side is broadcast when small. Hot cells
+    are bounded downstream by the k-means reduction; AQE skew-join is the
+    backstop (session.py).
+    """
+    if opts.query:
+        instances = instances.filter(F.expr(opts.query))
+
+    content = tree.tiles.filter("content_available").select("level", "x", "y")
+    levels = sorted(
+        r["level"] for r in content.select("level").distinct().collect()
+    )
+    if not levels:
+        return instances.sparkSession.createDataFrame([], schema="level int")
+    # broadcast only while the tile table is small; at 10^12-instance scale
+    # (~10^9 content tiles) fall back to a shuffle join and let AQE plan it
+    n_content = content.count()
+    content_side = F.broadcast(content) if n_content <= 2_000_000 else content
+
+    inst = with_cell_keys(instances, tree.bounds, tree.deep_level)
+    # ancestor key per content level: right-shift of the deep key
+    pairs = [
+        F.struct(
+            F.lit(lvl).alias("level"),
+            F.shiftright(F.col("cell_x"), tree.deep_level - lvl).alias("x"),
+            F.shiftright(F.col("cell_y"), tree.deep_level - lvl).alias("y"),
+        )
+        for lvl in levels
+    ]
+    inst = (
+        inst.withColumn("_cand", F.explode(F.array(*pairs)))
+        .withColumn("level", F.col("_cand.level"))
+        .withColumn("x", F.col("_cand.x"))
+        .withColumn("y", F.col("_cand.y"))
+        .drop("_cand", "cell_x", "cell_y")
+    )
+    return inst.join(content_side, ["level", "x", "y"], "inner")
+
+
+def collect_tiles(tree: TileTree):
+    """Driver-side tile list for subtree/tileset emission. Bounded by the
+    number of tiles (2,345 content tiles for 588k instances in the
+    reference bench, README.md:179), not by instance count."""
+    return (
+        tree.tiles.orderBy("level", "x", "y")
+        .toPandas()
+    )

@@ -1,0 +1,117 @@
+"""Deterministic pages/instances fixtures (FIXTURES.md contract).
+
+The primary input (BASELINE.json input_hint) is an Iceberg/parquet table of
+Common-Crawl-style web pages ``(url, warc_ts, html, text, lang)``; each page
+is geocoded and treated as one point instance. Two synthesis paths:
+
+1. :func:`synthesize_pages` — pure-Python/pandas generator of the fixture
+   scenarios (A = the reference's 50x50 clustering grid,
+   /root/reference/tests/Clustering/create_testdata.sql:1-11; S = 90/10
+   urban-skew) used by pytest and the bench.
+
+2. ``INSTANCE_SQL`` — a deterministic geocode of the driver's ``documents``
+   testdata table expressed as a SQL fragment that evaluates identically in
+   Spark SQL and DuckDB (integer arithmetic only), so every queries()/
+   oracle_sql() pair operates on the same derived instance table.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+
+import numpy as np
+import pandas as pd
+
+GRID_N = 50
+GRID_LON0, GRID_LAT0 = 34.0, 44.0
+GRID_SPAN = 0.1
+
+
+def synthesize_pages(n: int = 2500, scenario: str = "A", seed: int = 42) -> pd.DataFrame:
+    """Deterministic pages table; columns per FIXTURES.md §1.
+
+    Scenario A: 50x50 uniform grid over [34,34.1]x[44,44.1] (the reference
+    clustering fixture; rows beyond 2500 wrap the grid with a sub-step
+    offset so any n stays inside the bbox). Scenario S: 90% of rows in one
+    0.001-deg "urban" cell at (34.05, 44.05), 10% uniform over [34,35]x[44,45].
+    """
+    i = np.arange(n, dtype=np.int64)
+    step = GRID_SPAN / (GRID_N - 1)
+
+    if scenario == "A":
+        cell = i % (GRID_N * GRID_N)
+        wrap = i // (GRID_N * GRID_N)
+        # wrap offset keeps extra rows deterministic and inside the bbox
+        lon = GRID_LON0 + (cell % GRID_N) * step + (wrap % 7) * step / 11.0
+        lat = GRID_LAT0 + (cell // GRID_N) * step + (wrap % 5) * step / 13.0
+    elif scenario == "S":
+        rng = np.random.default_rng(seed)
+        urban = rng.random(n) < 0.9
+        lon = np.where(
+            urban,
+            34.05 + rng.random(n) * 0.001,
+            34.0 + rng.random(n) * 1.0,
+        )
+        lat = np.where(
+            urban,
+            44.05 + rng.random(n) * 0.001,
+            44.0 + rng.random(n) * 1.0,
+        )
+    else:
+        raise ValueError(f"unknown scenario {scenario!r}")
+
+    t0 = _dt.datetime(2026, 1, 1, tzinfo=_dt.timezone.utc)
+    return pd.DataFrame(
+        {
+            "url": [f"https://example.org/p/{k:08d}" for k in i],
+            "warc_ts": [t0 + _dt.timedelta(seconds=int(k)) for k in i],
+            "html": [f"<html><body>doc {k}</body></html>".encode() for k in i],
+            "text": [f"doc {k}" for k in i],
+            "lang": [["en", "fr", "de", "nl"][k % 4] for k in i],
+            "lon": lon,
+            "lat": lat,
+            "z": np.zeros(n),
+            "scale": np.full(n, 50.0),
+            "yaw": np.zeros(n),
+            "pitch": np.zeros(n),
+            "roll": np.zeros(n),
+            "model": ["tree.glb"] * n,
+            "tags": [None] * n,
+        }
+    )
+
+
+def pages_df(spark, n: int = 2500, scenario: str = "A", partitions: int | None = None):
+    """Pages fixture as a Spark DataFrame (Arrow-backed createDataFrame)."""
+    pdf = synthesize_pages(n, scenario)
+    df = spark.createDataFrame(pdf)
+    if partitions:
+        df = df.repartition(partitions)
+    return df
+
+
+# ---------------------------------------------------------------------------
+# Deterministic geocode of the driver's `documents` table (integer math only,
+# identical results in Spark SQL and DuckDB — the correctness-gate contract).
+# ---------------------------------------------------------------------------
+
+# multiplicative hashes (Knuth 2654435761 and a 31-bit LCG multiplier)
+_LON_EXPR = "(34.0 + ((doc_id * 2654435761) % 1000000) / 10000000.0)"
+_LAT_EXPR = "(44.0 + ((doc_id * 1099087573) % 1000000) / 10000000.0)"
+
+INSTANCE_COLS = (
+    f"doc_id, {_LON_EXPR} AS lon, {_LAT_EXPR} AS lat, 0.0 AS z, 50.0 AS scale, "
+    "0.0 AS yaw, 0.0 AS pitch, 0.0 AS roll, "
+    "CONCAT('m', CAST(doc_id % 3 AS VARCHAR), '.glb') AS model, "
+    "lang, n_chars, text"
+)
+
+# CTE reusable in both engines; tables are pre-registered views in DuckDB
+# and temp views in Spark (sources/tables.py).
+INSTANCE_CTE = f"WITH instances AS (SELECT {INSTANCE_COLS} FROM documents)"
+
+# Root bbox for the derived instance table. The geocode above lands inside
+# [34.0, 34.1) x [44.0, 44.1); the engine's extent scan + 10% inflation is
+# exercised separately (operators/extent.py). For cross-engine stable tile
+# keys we pin the analysis bbox exactly:
+DOCS_BBOX = (34.0, 44.0, 34.1, 44.1)
