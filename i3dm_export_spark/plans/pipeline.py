@@ -1,0 +1,201 @@
+"""EP1 equivalent: the end-to-end export pipeline (SURVEY.md §3.2).
+
+    pages (url, warc_ts, html, text, lang, geocode cols)
+      -> stage0_instances   project + geocode + text-invariant fingerprint
+      -> stage1_encoded     ECEF + S2 cell keys (vectorized pandas UDF)
+      -> stage2 tile tree   (operators/tiling.build_tile_tree — one shuffle)
+      -> stage3_assigned    leaf assignment (+ salt-aware repartition)
+      -> stage4 cluster+encode payloads (applyInPandas per tile)
+      -> sinks: content/{z}_{x}_{y}.cmpt|i3dm, subtrees/*.subtree,
+                tileset.json
+
+Every stage checkpoints through plans/checkpoint.CheckpointManager with
+per-partition lineage; a killed export rerun with the same output dir skips
+completed stages (resume test in tests/test_pipeline.py).
+
+Heavy payload columns (html) are projected away in stage 0 and never enter
+a shuffle (SURVEY.md §7 hazard 8); the byte-identical-text-per-url
+invariant is enforced by carrying an xxhash64 fingerprint of ``text``
+through every checkpoint and re-validating at the end.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F, types as T
+
+from ..config import Bounds, ExportOptions
+from ..functions import geodesy as geo
+from ..functions.cells import s2_cell_id
+from ..operators import encode as enc
+from ..operators import extent, subtree, tiling
+from ..operators.clustering import cluster_tiles
+from .checkpoint import CheckpointManager
+
+INSTANCE_COLS = [
+    "url", "text_fp", "lon", "lat", "z", "scale", "yaw", "pitch", "roll",
+    "model", "tags", "lang",
+]
+
+
+def stage0_instances(pages: DataFrame) -> DataFrame:
+    """Project the tiling-relevant columns; html/text stay out of every
+    downstream shuffle. text_fp pins the byte-identical-text invariant."""
+    cols = [c for c in INSTANCE_COLS if c in pages.columns or c == "text_fp"]
+    out = pages.withColumn("text_fp", F.xxhash64(F.col("text")))
+    missing_defaults = {
+        "z": F.lit(0.0), "scale": F.lit(1.0), "yaw": F.lit(0.0),
+        "pitch": F.lit(0.0), "roll": F.lit(0.0),
+        "model": F.lit(None).cast("string"), "tags": F.lit(None).cast("string"),
+        "lang": F.lit(None).cast("string"),
+    }
+    for name, default in missing_defaults.items():
+        if name not in out.columns:
+            out = out.withColumn(name, default)
+    return out.select(*INSTANCE_COLS)
+
+
+_ECEF_SCHEMA = T.StructType(
+    [
+        T.StructField("x_ecef", T.DoubleType()),
+        T.StructField("y_ecef", T.DoubleType()),
+        T.StructField("z_ecef", T.DoubleType()),
+        T.StructField("s2_cell", T.LongType()),
+    ]
+)
+
+
+def stage1_encode(instances: DataFrame, s2_level: int = 16) -> DataFrame:
+    """F17 + S2 cell keys in ONE Arrow-batched pandas UDF (the reference
+    reprojects inside each fetch query, src/InstancesRepository.cs:42,52;
+    here exactly once, checkpointed)."""
+
+    @F.pandas_udf(_ECEF_SCHEMA)
+    def _encode(lon: pd.Series, lat: pd.Series, z: pd.Series) -> pd.DataFrame:
+        xyz = geo.wgs84_to_ecef(lon.to_numpy(), lat.to_numpy(), z.to_numpy())
+        cell = s2_cell_id(lon.to_numpy(), lat.to_numpy(), s2_level)
+        return pd.DataFrame(
+            {
+                "x_ecef": xyz[:, 0], "y_ecef": xyz[:, 1], "z_ecef": xyz[:, 2],
+                "s2_cell": cell,
+            }
+        )
+
+    enc_col = _encode(F.col("lon"), F.col("lat"), F.col("z"))
+    return instances.withColumn("_e", enc_col).select("*", "_e.*").drop("_e")
+
+
+def run_export(
+    pages: DataFrame,
+    opts: ExportOptions,
+    output_dir: str,
+    checkpoint_dir: str | None = None,
+    bounds: Bounds | None = None,
+    subtree_levels: int = 2,
+    write_content: bool = True,
+) -> dict:
+    """Full export. Returns a summary dict (tiles/subtree counts, metrics)."""
+    spark = pages.sparkSession
+    ckpt = CheckpointManager(spark, checkpoint_dir or os.path.join(output_dir, "_checkpoints"))
+
+    inst = ckpt.run_stage("stage0_instances", lambda: stage0_instances(pages))
+
+    if bounds is None:
+        bounds = extent.compute_bounds(
+            inst, heights=opts.boundingvolume_heights, query=opts.query,
+            clamp=not opts.keep_projection,
+        )
+
+    encoded = ckpt.run_stage("stage1_encoded", lambda: stage1_encode(inst))
+
+    # stage 2: tile tree (tiny output; checkpointed as a table)
+    tree_df = ckpt.run_stage(
+        "stage2_tiles",
+        lambda: tiling.build_tile_tree(encoded, bounds, opts).tiles,
+    )
+    tree = tiling.TileTree(
+        tiles=tree_df, deep_level=opts.max_level,
+        bounds=bounds,
+        max_content_level=(
+            tree_df.filter("content_available").agg(F.max("level")).collect()[0][0] or 0
+        ),
+    )
+
+    # stage 3: assignment, range-partitioned by tile key (Morton-ordered
+    # spatial locality) so stage-4 groups are co-located
+    def _assign():
+        assigned = tiling.assign_to_content_tiles(encoded, tree, opts)
+        return assigned.repartitionByRange(
+            max(int(spark.conf.get("spark.sql.shuffle.partitions")), 1),
+            "level", "x", "y",
+        )
+
+    assigned = ckpt.run_stage("stage3_assigned", _assign, partition_cols=None)
+
+    # stage 4: LOD reduction for over-full content tiles, then payload encode
+    if opts.use_clustering:
+        reduced = ckpt.run_stage("stage4_reduced", lambda: cluster_tiles(assigned, opts))
+    else:
+        reduced = assigned
+
+    payloads = ckpt.run_stage("stage4_payloads", lambda: enc.encode_tiles(reduced, opts))
+
+    # ---- sinks (K1/K3/K4) -------------------------------------------------
+    content_dir = os.path.join(output_dir, "content")
+    subtrees_dir = os.path.join(output_dir, "subtrees")
+    os.makedirs(content_dir, exist_ok=True)
+    os.makedirs(subtrees_dir, exist_ok=True)
+
+    ext = opts.content_extension
+    n_content = 0
+    if write_content:
+        rows = payloads.select("level", "x", "y", "payload").toLocalIterator()
+        for r in rows:
+            path = os.path.join(content_dir, f"{r['level']}_{r['x']}_{r['y']}.{ext}")
+            with open(path, "wb") as f:
+                f.write(bytes(r["payload"]))
+            n_content += 1
+    else:
+        n_content = payloads.count()
+
+    tiles_pdf = tiling.collect_tiles(tree)
+    subs = subtree.build_subtrees_pandas(tiles_pdf, subtree_levels)
+    for (lvl, x, y), (_tb, _cb, _sb, data) in subs.items():
+        with open(os.path.join(subtrees_dir, f"{lvl}_{x}_{y}.subtree"), "wb") as f:
+            f.write(data)
+
+    # tileset.json (K4); subtreeLevels inference per reference
+    # src/Program.cs:151: Z of the 2nd subtree file else 2
+    keys = sorted(subs)
+    inferred_subtree_levels = keys[1][0] if len(keys) > 1 else 2
+    avail_levels = subtree.available_levels(tiles_pdf)
+    region = bounds.to_region(radians=not opts.keep_projection)
+    ts_json = enc.tileset_json(
+        region, opts.geometric_error, avail_levels, inferred_subtree_levels,
+        use_i3dm=opts.use_i3dm, use_gpu_instancing=opts.use_gpu_instancing,
+        tileset_version=opts.tileset_version, keep_projection=opts.keep_projection,
+    )
+    with open(os.path.join(output_dir, "tileset.json"), "w") as f:
+        f.write(ts_json)
+
+    # per-row invariant: byte-identical text per url across checkpoints
+    fp0 = inst.select("url", "text_fp")
+    fp1 = ckpt.read("stage3_assigned").select("url", "text_fp").distinct()
+    broken = fp0.join(fp1, "url").filter(
+        fp0["text_fp"] != fp1["text_fp"]
+    )
+    n_broken = broken.count()
+
+    return {
+        "n_instances": inst.count(),
+        "n_tiles_recorded": len(tiles_pdf),
+        "n_content_tiles": n_content,
+        "n_subtree_files": len(subs),
+        "available_levels": avail_levels,
+        "subtree_levels": inferred_subtree_levels,
+        "text_invariant_violations": n_broken,
+        "bounds": bounds.bbox,
+        "stage_metrics": ckpt.metrics(),
+    }

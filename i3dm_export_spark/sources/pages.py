@@ -83,8 +83,10 @@ def synthesize_pages(n: int = 2500, scenario: str = "A", seed: int = 42) -> pd.D
 
 def pages_df(spark, n: int = 2500, scenario: str = "A", partitions: int | None = None):
     """Pages fixture as a Spark DataFrame (Arrow-backed createDataFrame)."""
+    from pyspark.sql import functions as F
+
     pdf = synthesize_pages(n, scenario)
-    df = spark.createDataFrame(pdf)
+    df = spark.createDataFrame(pdf).withColumn("tags", F.col("tags").cast("string"))
     if partitions:
         df = df.repartition(partitions)
     return df

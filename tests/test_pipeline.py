@@ -1,0 +1,119 @@
+"""End-to-end export pipeline tests: full run, outputs, resume, invariants."""
+
+import json
+import os
+
+import pytest
+
+from i3dm_export_spark.config import ExportOptions
+from i3dm_export_spark.plans import pipeline
+from i3dm_export_spark.sources.pages import pages_df
+
+
+@pytest.fixture(scope="module")
+def export_result(spark, tmp_path_factory):
+    out = tmp_path_factory.mktemp("export")
+    pages = pages_df(spark, 2500, scenario="A")
+    opts = ExportOptions(max_features_per_tile=100, max_level=12, use_i3dm=True)
+    summary = pipeline.run_export(pages, opts, str(out))
+    return out, summary
+
+
+class TestEndToEnd:
+    def test_summary_counts(self, export_result):
+        out, s = export_result
+        assert s["n_instances"] == 2500
+        assert s["n_content_tiles"] > 0
+        assert s["n_subtree_files"] >= 1
+        assert s["text_invariant_violations"] == 0
+        assert s["available_levels"] >= 4
+
+    def test_content_files_on_disk(self, export_result):
+        out, s = export_result
+        files = os.listdir(out / "content")
+        assert len(files) == s["n_content_tiles"]
+        assert all(f.endswith(".i3dm") for f in files)
+        # spot-check one payload round-trips
+        from i3dm_export_spark.operators.encode import parse_i3dm
+
+        with open(out / "content" / sorted(files)[0], "rb") as f:
+            ft, _, _, payload = parse_i3dm(f.read())
+        assert ft["INSTANCES_LENGTH"] > 0
+        assert "RTC_CENTER" in ft
+
+    def test_subtree_files_on_disk(self, export_result):
+        out, s = export_result
+        files = os.listdir(out / "subtrees")
+        assert len(files) == s["n_subtree_files"]
+        assert "0_0_0.subtree" in files
+
+    def test_tileset_json(self, export_result):
+        out, s = export_result
+        with open(out / "tileset.json") as f:
+            ts = json.load(f)
+        assert ts["root"]["implicitTiling"]["availableLevels"] == s["available_levels"]
+        assert ts["root"]["content"]["uri"] == "content/{level}_{x}_{y}.i3dm"
+        region = ts["root"]["boundingVolume"]["region"]
+        assert len(region) == 6
+        # radians: lon ~34 deg = 0.593 rad
+        assert 0.5 < region[0] < 0.7
+
+    def test_per_tile_counts_match_files(self, export_result):
+        out, s = export_result
+        # content tile count equals the tree's content_available tiles
+        ckpt_tiles = os.path.join(out, "_checkpoints", "stage2_tiles")
+        import duckdb
+
+        n = duckdb.sql(
+            f"select count(*) from parquet_scan('{ckpt_tiles}/*.parquet') where content_available"
+        ).fetchone()[0]
+        assert n == s["n_content_tiles"]
+
+
+class TestResume:
+    def test_resume_skips_completed_stages(self, spark, tmp_path):
+        pages = pages_df(spark, 500, scenario="A")
+        opts = ExportOptions(max_features_per_tile=100, max_level=10)
+        out = tmp_path / "exp"
+        s1 = pipeline.run_export(pages, opts, str(out))
+        # re-run: all stages must reload (wall_ms recorded once; done markers
+        # unchanged) and results identical
+        mtimes = {
+            f: os.path.getmtime(os.path.join(out, "_checkpoints", "_lineage", f))
+            for f in os.listdir(out / "_checkpoints" / "_lineage")
+            if f.endswith(".done.json")
+        }
+        s2 = pipeline.run_export(pages, opts, str(out))
+        for f, t in mtimes.items():
+            assert os.path.getmtime(os.path.join(out, "_checkpoints", "_lineage", f)) == t
+        assert s1["n_content_tiles"] == s2["n_content_tiles"]
+        assert s1["n_tiles_recorded"] == s2["n_tiles_recorded"]
+
+    def test_lineage_metrics_recorded(self, spark, tmp_path):
+        pages = pages_df(spark, 500, scenario="A")
+        opts = ExportOptions(max_features_per_tile=100, max_level=10)
+        s = pipeline.run_export(pages, opts, str(tmp_path / "exp2"))
+        stages = {m["stage"] for m in s["stage_metrics"]}
+        assert {"stage0_instances", "stage1_encoded", "stage2_tiles",
+                "stage3_assigned", "stage4_payloads"} <= stages
+        for m in s["stage_metrics"]:
+            assert m["n_rows"] > 0
+            assert m["n_bytes"] > 0
+
+
+class TestClusteredExport:
+    def test_clustered_tiles_capped(self, spark, tmp_path):
+        pages = pages_df(spark, 2500, scenario="A")
+        opts = ExportOptions(
+            max_features_per_tile=100, max_level=12, use_clustering=True
+        )
+        s = pipeline.run_export(pages, opts, str(tmp_path / "exp3"), write_content=False)
+        ckpt = os.path.join(tmp_path / "exp3", "_checkpoints", "stage4_payloads")
+        import duckdb
+
+        mx = duckdb.sql(
+            f"select max(n_instances) from parquet_scan('{ckpt}/*.parquet')"
+        ).fetchone()[0]
+        assert mx <= 100
+        # clustering doubles up: interior over-full tiles also carry content
+        assert s["n_content_tiles"] > 25  # 2500/100 leaves alone would be ~25

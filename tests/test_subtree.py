@@ -1,0 +1,142 @@
+"""T4 subtree availability tests (3D Tiles 1.1 layout + semantics)."""
+
+import numpy as np
+import pandas as pd
+
+from i3dm_export_spark.operators import subtree
+
+
+def _tiles(rows):
+    return pd.DataFrame(
+        rows, columns=["level", "x", "y", "available", "content_available", "n_instances"]
+    )
+
+
+class TestBitstrings:
+    def test_single_root_leaf(self):
+        t = _tiles([(0, 0, 0, True, True, 10)])
+        tile_b, content_b, child_b = subtree.subtree_bitstrings(t, 0, 0, 0, 2)
+        # interior bits: 1 (root) + 4 (level 1) = 5
+        assert tile_b == "10000"
+        assert content_b == "10000"
+        assert child_b == "0" * 16
+
+    def test_split_root_with_leaves_morton_order(self):
+        # root split (no content), 4 children: content at (1,0,0) and (1,1,1);
+        # morton(0,0)=0, morton(1,1)=3
+        t = _tiles(
+            [
+                (0, 0, 0, False, False, 200),
+                (1, 0, 0, True, True, 50),
+                (1, 1, 0, False, False, 0),
+                (1, 0, 1, False, False, 0),
+                (1, 1, 1, True, True, 150),
+            ]
+        )
+        tile_b, content_b, child_b = subtree.subtree_bitstrings(t, 0, 0, 0, 2)
+        assert tile_b == "11001"   # root + children morton 0 and 3
+        assert content_b == "01001"
+        assert child_b == "0" * 16
+
+    def test_child_subtree_bits(self):
+        # a recorded non-empty tile at local level == s -> child subtree bit
+        t = _tiles(
+            [
+                (0, 0, 0, False, False, 500),
+                (2, 1, 2, False, False, 300),  # morton(1,2) = 1 + 8 = 9
+            ]
+        )
+        _, _, child_b = subtree.subtree_bitstrings(t, 0, 0, 0, 2)
+        assert child_b == "0000000001000000"
+        assert child_b[9] == "1"
+
+    def test_empty_tiles_not_available(self):
+        t = _tiles([(0, 0, 0, False, False, 0)])
+        tile_b, content_b, _ = subtree.subtree_bitstrings(t, 0, 0, 0, 2)
+        assert tile_b == "00000"
+        assert content_b == "00000"
+
+
+class TestBinaryFormat:
+    def test_roundtrip(self):
+        data = subtree.serialize_subtree("10000", "10000", "0" * 16)
+        j, buf = subtree.parse_subtree(data)
+        assert j["tileAvailability"] == {"bitstream": 0}
+        assert j["contentAvailability"] == [{"bitstream": 1}]
+        assert j["childSubtreeAvailability"] == {"bitstream": 2}
+        assert len(j["bufferViews"]) == 3
+        # first bitstream byte: bit0 set, little bit order
+        v0 = j["bufferViews"][0]
+        assert buf[v0["byteOffset"]] == 0b00000001
+        assert len(data) % 8 == 0
+
+    def test_header(self):
+        data = subtree.serialize_subtree("1", "1", "0000")
+        assert data[:4] == b"subt"
+        assert int.from_bytes(data[4:8], "little") == 1
+
+
+class TestBuildSubtrees:
+    def test_fixture_tree(self, spark):
+        from i3dm_export_spark.config import ExportOptions
+        from i3dm_export_spark.operators import extent, tiling
+        from i3dm_export_spark.sources.pages import synthesize_pages
+
+        pdf = synthesize_pages(2500, scenario="A")
+        bounds = extent.derive_root_bounds(
+            pdf["lon"].min(), pdf["lat"].min(), pdf["lon"].max(), pdf["lat"].max(), 0, 0
+        )
+        opts = ExportOptions(max_features_per_tile=100, max_level=12)
+        tree = tiling.build_tile_tree(spark.createDataFrame(pdf), bounds, opts)
+        tiles_pdf = tiling.collect_tiles(tree)
+
+        subs = subtree.build_subtrees_pandas(tiles_pdf, subtree_levels=2)
+        assert (0, 0, 0) in subs
+        # every subtree root beyond level 0 must be a recorded non-empty tile
+        recorded = {
+            (int(r.level), int(r.x), int(r.y)): int(r.n_instances)
+            for r in tiles_pdf.itertuples()
+        }
+        for (lvl, x, y) in subs:
+            if lvl == 0:
+                continue
+            assert recorded.get((lvl, x, y), 0) > 0
+        # root subtree binary is well-formed
+        tile_b, content_b, child_b, data = subs[(0, 0, 0)]
+        j, _ = subtree.parse_subtree(data)
+        assert j["buffers"][0]["byteLength"] > 0
+        # availableLevels per reference src/Program.cs:152
+        assert subtree.available_levels(tiles_pdf) == tiles_pdf["level"].max() + 1
+
+
+class TestRootSubtreeContentBits:
+    def test_content_bits_match_tree(self, spark):
+        from i3dm_export_spark.config import ExportOptions
+        from i3dm_export_spark.operators import extent, tiling
+        from i3dm_export_spark.sources.pages import synthesize_pages
+
+        pdf = synthesize_pages(2500, scenario="A")
+        bounds = extent.derive_root_bounds(
+            pdf["lon"].min(), pdf["lat"].min(), pdf["lon"].max(), pdf["lat"].max(), 0, 0
+        )
+        opts = ExportOptions(max_features_per_tile=100, max_level=12)
+        tree = tiling.build_tile_tree(spark.createDataFrame(pdf), bounds, opts)
+        tiles_pdf = tiling.collect_tiles(tree)
+        s = 2
+        subs = subtree.build_subtrees_pandas(tiles_pdf, subtree_levels=s)
+        content_tiles = {
+            (int(r.level), int(r.x), int(r.y))
+            for r in tiles_pdf.itertuples() if r.content_available
+        }
+        # reconstruct content tiles from the bitstreams; must round-trip
+        from i3dm_export_spark.functions.cells import morton_decode
+
+        rebuilt = set()
+        for (rl, rx, ry), (tile_b, content_b, child_b, _) in subs.items():
+            for ll in range(s):
+                offset = (4**ll - 1) // 3
+                for m in range(4**ll):
+                    if content_b[offset + m] == "1":
+                        lx, ly = morton_decode(np.array([m]))
+                        rebuilt.add((rl + ll, (rx << ll) + int(lx[0]), (ry << ll) + int(ly[0])))
+        assert rebuilt == content_tiles
