@@ -1,38 +1,447 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` smoke-runs the flagship tile-tree build on sf0.001;
+``queries()`` exposes one callable per implemented operator from
+SURVEY.md §2 (+ the training-data pipeline ops); ``oracle_sql()`` gives the
+DuckDB-equivalent SQL (built in i3dm_export_spark/oracles.py). Queries with
+no SQL-expressible semantics (k-means LOD reduction, ray-casting PIP on
+concave polygons, LSH-bucketed ANN) ship without an oracle — the driver
+records the weaker rows-only check for those.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from i3dm_export_spark import oracles
+from i3dm_export_spark.config import Bounds, ExportOptions
+from i3dm_export_spark.functions import text as tx
+from i3dm_export_spark.operators import (
+    dedup,
+    extent,
+    knn,
+    pip,
+    range_join,
+    similarity,
+    tiling,
+)
+from i3dm_export_spark.sources.pages import DOCS_BBOX, INSTANCE_COLS
+from i3dm_export_spark.sources.tables import load_table
+
+_BOUNDS = Bounds(*DOCS_BBOX)
+_TREE_OPTS = ExportOptions(max_features_per_tile=50, max_level=6)
+
+
+def _instances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic geocode of `documents` — the same SQL text the oracle
+    CTE uses, run through Catalyst (sources/pages.INSTANCE_COLS)."""
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(f"SELECT {INSTANCE_COLS} FROM documents")
+
+
+def _docs(spark, sf_dir):
+    return load_table(spark, sf_dir, "documents")
+
+
+def _tree(spark, sf_dir):
+    inst = _instances(spark, sf_dir)
+    tree = tiling.build_tile_tree(inst, _BOUNDS, _TREE_OPTS, deep_level=6)
+    return tree
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+def q_tile_tree(spark, sf_dir):
+    return _tree(spark, sf_dir).tiles.select(
+        "level", "x", "y", "available", "content_available", "n_instances"
+    )
+
+
+def q_leaf_assignment(spark, sf_dir):
+    inst = _instances(spark, sf_dir)
+    tree = tiling.build_tile_tree(inst, _BOUNDS, _TREE_OPTS, deep_level=6)
+    assigned = tiling.assign_to_content_tiles(inst, tree, _TREE_OPTS)
+    return assigned.select("doc_id", "level", "x", "y")
+
+
+def q_tile_counts(spark, sf_dir):
+    inst = _instances(spark, sf_dir)
+    keyed = tiling.with_cell_keys(inst, _BOUNDS, 5)
+    return keyed.groupBy(
+        F.col("cell_x").alias("x"), F.col("cell_y").alias("y")
+    ).agg(F.count(F.lit(1)).alias("n"))
+
+
+def q_extent(spark, sf_dir):
+    inst = _instances(spark, sf_dir)
+    b = extent.compute_bounds(inst, heights=(0.0, 10.0))
+    return spark.createDataFrame(
+        [tuple(float(v) for v in (b.xmin, b.ymin, b.xmax, b.ymax, b.zmin, b.zmax))],
+        "xmin double, ymin double, xmax double, ymax double, zmin double, zmax double",
+    )
+
+
+def q_count_in_box(spark, sf_dir):
+    inst = _instances(spark, sf_dir)
+    return inst.filter(
+        (F.col("lon") >= 34.02) & (F.col("lon") < 34.06)
+        & (F.col("lat") >= 44.02) & (F.col("lat") < 44.06)
+        & (F.col("lang") == "en")
+    ).agg(F.count(F.lit(1)).alias("n"))
+
+
+def q_instance_fetch_ecef(spark, sf_dir):
+    from pyspark.sql import types as T
+
+    from i3dm_export_spark.functions import geodesy as geo
+
+    inst = _instances(spark, sf_dir)
+
+    @F.pandas_udf(
+        T.StructType(
+            [
+                T.StructField("x_ecef", T.DoubleType()),
+                T.StructField("y_ecef", T.DoubleType()),
+                T.StructField("z_ecef", T.DoubleType()),
+            ]
+        )
+    )
+    def _ecef(lon: pd.Series, lat: pd.Series) -> pd.DataFrame:
+        xyz = geo.wgs84_to_ecef(lon.to_numpy(), lat.to_numpy(), 0.0)
+        return pd.DataFrame(
+            {
+                "x_ecef": xyz[:, 0].round(2),
+                "y_ecef": xyz[:, 1].round(2),
+                "z_ecef": xyz[:, 2].round(2),
+            }
+        )
+
+    return inst.withColumn("_e", _ecef("lon", "lat")).select(
+        "doc_id", "_e.x_ecef", "_e.y_ecef", "_e.z_ecef", "scale", "model"
+    )
+
+
+def q_rtc_relative(spark, sf_dir):
+    from pyspark.sql import Window
+
+    inst = _instances(spark, sf_dir)
+    keyed = tiling.with_cell_keys(inst, _BOUNDS, 3, x_col="x", y_col="y")
+    w = (
+        Window.partitionBy("x", "y")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return keyed.select(
+        "doc_id", "x", "y",
+        (F.col("lon") - F.first("lon").over(w)).alias("dx"),
+        (F.col("lat") - F.first("lat").over(w)).alias("dy"),
+    )
+
+
+def q_distinct_models(spark, sf_dir):
+    inst = _instances(spark, sf_dir)
+    keyed = tiling.with_cell_keys(inst, _BOUNDS, 3, x_col="x", y_col="y")
+    return keyed.groupBy("x", "y").agg(
+        F.countDistinct("model").alias("n_models"),
+        F.min("model").alias("first_model"),
+    )
+
+
+def q_batch_table(spark, sf_dir):
+    inst = _instances(spark, sf_dir)
+    keyed = tiling.with_cell_keys(inst, _BOUNDS, 2, x_col="x", y_col="y")
+    rows = F.array_sort(F.collect_list(F.struct("doc_id", "lang")))
+    langs = F.array_join(
+        F.transform(rows, lambda s: F.concat(F.lit('"'), s["lang"], F.lit('"'))), ","
+    )
+    ids = F.array_join(
+        F.transform(
+            rows, lambda s: F.concat(F.lit('"'), s["doc_id"].cast("string"), F.lit('"'))
+        ),
+        ",",
+    )
+    return keyed.groupBy("x", "y").agg(
+        F.concat(
+            F.lit('{"lang":['), langs, F.lit('],"id":['), ids, F.lit("]}")
+        ).alias("batch_json")
+    )
+
+
+def q_knn(spark, sf_dir):
+    inst = _instances(spark, sf_dir)
+    return knn.knn_global_bruteforce(
+        inst.filter("doc_id < 50"), inst.filter("doc_id < 200"), 3, id_col="doc_id"
+    )
+
+
+def q_pip_rect(spark, sf_dir):
+    inst = _instances(spark, sf_dir)
+    grid = 4
+    x0, y0, x1, y1 = DOCS_BBOX
+    cw = (x1 - x0) / grid
+    ch = (y1 - y0) / grid
+    rects = spark.range(grid * grid).select(
+        F.col("id").alias("boundary_id"),
+        (F.lit(x0) + (F.col("id") % grid) * cw).alias("min_lon"),
+        (F.lit(x0) + (F.col("id") % grid + 1) * cw).alias("max_lon"),
+        (F.lit(y0) + F.floor(F.col("id") / grid) * ch).alias("min_lat"),
+        (F.lit(y0) + (F.floor(F.col("id") / grid) + 1) * ch).alias("max_lat"),
+    )
+    out = pip.pip_join_rect_sql(inst, rects)
+    return out.select("doc_id", "boundary_id")
+
+
+def q_range_join(spark, sf_dir):
+    grid, level, margin = 8, 3, 0.1
+    x0, y0, x1, y1 = DOCS_BBOX
+    cw, ch = (x1 - x0) / grid, (y1 - y0) / grid
+    n = 1 << level
+    tw, th = (x1 - x0) / n, (y1 - y0) / n
+    rasters = spark.range(grid * grid).select(
+        F.col("id").alias("raster_id"),
+        (F.lit(x0) + (F.col("id") % grid) * cw - cw * margin).alias("min_lon"),
+        (F.lit(x0) + (F.col("id") % grid + 1) * cw + cw * margin).alias("max_lon"),
+        (F.lit(y0) + F.floor(F.col("id") / grid) * ch - ch * margin).alias("min_lat"),
+        (F.lit(y0) + (F.floor(F.col("id") / grid) + 1) * ch + ch * margin).alias("max_lat"),
+    )
+    tiles = spark.range(n * n).select(
+        (F.col("id") % n).alias("x"),
+        F.floor(F.col("id") / n).cast("bigint").alias("y"),
+        (F.lit(x0) + (F.col("id") % n) * tw).alias("min_lon"),
+        (F.lit(x0) + (F.col("id") % n + 1) * tw).alias("max_lon"),
+        (F.lit(y0) + F.floor(F.col("id") / n) * th).alias("min_lat"),
+        (F.lit(y0) + (F.floor(F.col("id") / n) + 1) * th).alias("max_lat"),
+    )
+    out = range_join.extent_overlap_join_broadcast(rasters, tiles)
+    return out.select("a.raster_id", "b.x", "b.y")
+
+
+def q_dedup_exact(spark, sf_dir):
+    return dedup.exact_dedup(_docs(spark, sf_dir))
+
+
+def q_minhash_sigs(spark, sf_dir):
+    return dedup.minhash_signatures(_docs(spark, sf_dir), n_bands=4)
+
+
+def q_lsh_pairs(spark, sf_dir):
+    sigs = dedup.minhash_signatures(_docs(spark, sf_dir), n_bands=4)
+    return dedup.lsh_candidate_pairs(sigs)
+
+
+def q_simhash(spark, sf_dir):
+    return dedup.simhash(_docs(spark, sf_dir), bits=16)
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    sigs = dedup.minhash_signatures(docs, n_bands=4)
+    cand = dedup.lsh_candidate_pairs(sigs)
+    return dedup.ngram_jaccard_pairs(docs, cand, n=3)
+
+
+def q_cosine_topk(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.cosine_topk_bruteforce(
+        emb, emb.filter("vec_id < 10"), 5
+    )
+
+
+def q_text_tokens(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    return docs.select(
+        "doc_id",
+        tx.token_count().alias("n_tokens"),
+        tx.bpe_ish_token_count().alias("n_bpe_tokens"),
+    )
+
+
+def q_text_quality(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    feats = tx.quality_features()
+    return docs.select(
+        "doc_id",
+        feats["n_chars_norm"].alias("n_chars_norm"),
+        feats["n_tokens"].alias("n_tokens"),
+        feats["alpha_ratio"].alias("alpha_ratio"),
+        feats["digit_ratio"].alias("digit_ratio"),
+        feats["punct_ratio"].alias("punct_ratio"),
+        feats["mean_token_len"].alias("mean_token_len"),
+    )
+
+
+def q_text_langid(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    return docs.select(
+        "doc_id",
+        tx.stopword_hits("text", "en").alias("s_en"),
+        tx.stopword_hits("text", "fr").alias("s_fr"),
+        tx.stopword_hits("text", "de").alias("s_de"),
+        tx.stopword_hits("text", "nl").alias("s_nl"),
+        tx.lang_id().alias("lang_guess"),
+    )
+
+
+def q_text_fingerprint(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    return docs.select(
+        "doc_id",
+        tx.fingerprint_md5().alias("fp_md5"),
+        tx.rolling_hash32().alias("fp_roll"),
+    )
+
+
+def q_events_hourly(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(
+        "event_type",
+        F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias("hour"),
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+    )
+
+
+# ---- non-SQL-expressible ops (rows-only checks) ---------------------------
+
+def q_cluster_kmeans(spark, sf_dir):
+    from i3dm_export_spark.operators.clustering import cluster_tiles
+
+    inst = _instances(spark, sf_dir)
+    tree = tiling.build_tile_tree(inst, _BOUNDS, _TREE_OPTS, deep_level=6)
+    opts = ExportOptions(max_features_per_tile=50, max_level=6, use_clustering=True)
+    tree_c = tiling.build_tile_tree(inst, _BOUNDS, opts, deep_level=6)
+    assigned = tiling.assign_to_content_tiles(inst, tree_c, opts)
+    reduced = cluster_tiles(assigned, opts, order_col="doc_id")
+    return reduced.groupBy("level", "x", "y").agg(
+        F.count(F.lit(1)).alias("n_reduced")
+    )
+
+
+def q_pip_polygon(spark, sf_dir):
+    """Concave (L-shaped) polygon PIP via vectorized ray casting."""
+    inst = _instances(spark, sf_dir)
+    x0, y0, x1, y1 = DOCS_BBOX
+    w, h = x1 - x0, y1 - y0
+    polys = [
+        {  # L-shape covering west strip + south strip
+            "boundary_id": 0,
+            "ring": [
+                (x0, y0), (x0 + 0.6 * w, y0), (x0 + 0.6 * w, y0 + 0.3 * h),
+                (x0 + 0.3 * w, y0 + 0.3 * h), (x0 + 0.3 * w, y0 + 0.8 * h),
+                (x0, y0 + 0.8 * h),
+            ],
+        },
+        {  # triangle in the northeast
+            "boundary_id": 1,
+            "ring": [
+                (x0 + 0.5 * w, y0 + 0.5 * h), (x1, y0 + 0.5 * h), (x1, y1),
+            ],
+        },
+    ]
+    return pip.pip_join(inst, polys).select("doc_id", "boundary_id")
+
+
+def q_ann_lsh(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    dim = len(emb.select("embedding").first()[0])
+    return similarity.lsh_bucketed_ann(
+        emb, emb.filter("vec_id < 10"), 5, dim=dim, n_planes=8
+    )
+
+
+def q_embedding_near_dup(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    dim = len(emb.select("embedding").first()[0])
+    # synthetic embeddings top out at ~0.51 pairwise cosine; 0.3 exercises
+    # the operator with a non-empty result
+    return similarity.embedding_near_dup(emb, threshold=0.3, dim=dim, n_planes=4)
+
+
+def q_knn_per_tile(spark, sf_dir):
+    inst = _instances(spark, sf_dir)
+    tree = tiling.build_tile_tree(inst, _BOUNDS, _TREE_OPTS, deep_level=6)
+    assigned = tiling.assign_to_content_tiles(inst, tree, _TREE_OPTS)
+    return knn.knn_per_tile(assigned, k=3, id_col="doc_id")
+
+
+# ---------------------------------------------------------------------------
+# driver surface
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on /root/testdata/sf0.001: the stage-2 tile tree."""
+    return q_tile_tree(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # tiling engine (SURVEY.md §2: S2-4, A1-A6, T1-T2, J1, P1-P2, F7, F17)
+        "tile_tree": q_tile_tree,
+        "leaf_assignment": q_leaf_assignment,
+        "tile_counts": q_tile_counts,
+        "extent": q_extent,
+        "count_in_box": q_count_in_box,
+        "instance_fetch_ecef": q_instance_fetch_ecef,
+        "rtc_relative": q_rtc_relative,
+        "distinct_models": q_distinct_models,
+        "batch_table": q_batch_table,
+        # spatial joins (J1 generalized: kNN, PIP, raster<->vector)
+        "knn": q_knn,
+        "pip_rect": q_pip_rect,
+        "range_join": q_range_join,
+        # training-data pipeline: dedup
+        "dedup_exact": q_dedup_exact,
+        "minhash_sigs": q_minhash_sigs,
+        "lsh_pairs": q_lsh_pairs,
+        "simhash": q_simhash,
+        "ngram_jaccard": q_ngram_jaccard,
+        # similarity search
+        "cosine_topk": q_cosine_topk,
+        # text analysis
+        "text_tokens": q_text_tokens,
+        "text_quality": q_text_quality,
+        "text_langid": q_text_langid,
+        "text_fingerprint": q_text_fingerprint,
+        # generic agg / events
+        "events_hourly": q_events_hourly,
+        # non-SQL-expressible (rows-only)
+        "cluster_kmeans": q_cluster_kmeans,
+        "pip_polygon": q_pip_polygon,
+        "ann_lsh": q_ann_lsh,
+        "embedding_near_dup": q_embedding_near_dup,
+        "knn_per_tile": q_knn_per_tile,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "tile_tree": oracles.q_tile_tree(50, 6),
+        "leaf_assignment": oracles.q_leaf_assignment(50, 6),
+        "tile_counts": oracles.q_tile_counts(5),
+        "extent": oracles.q_extent(),
+        "count_in_box": oracles.q_count_in_box(),
+        "instance_fetch_ecef": oracles.q_instance_fetch_ecef(),
+        "rtc_relative": oracles.q_rtc_relative(3),
+        "distinct_models": oracles.q_distinct_models(3),
+        "batch_table": oracles.q_batch_table(2),
+        "knn": oracles.q_knn(3, 50, 200),
+        "pip_rect": oracles.q_pip_rect(4),
+        "range_join": oracles.q_range_join(8, 3, 0.1),
+        "dedup_exact": oracles.q_dedup_exact(),
+        "minhash_sigs": oracles.q_minhash_sigs(4, 5),
+        "lsh_pairs": oracles.q_lsh_pairs(4, 5),
+        "simhash": oracles.q_simhash(16),
+        "ngram_jaccard": oracles.q_ngram_jaccard(3, 4, 5),
+        "cosine_topk": oracles.q_cosine_topk(5, 10),
+        "text_tokens": oracles.q_text_tokens(),
+        "text_quality": oracles.q_text_quality(),
+        "text_langid": oracles.q_text_langid(),
+        "text_fingerprint": oracles.q_text_fingerprint(),
+        "events_hourly": oracles.q_events_hourly(),
+    }

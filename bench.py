@@ -1,0 +1,98 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Headline = the flagship tiling export (tree + assignment + payload encode
+over a deterministically synthesized 600k-instance pages table — the
+BASELINE.md workload shape) plus representative operator queries from
+__spark_entry__ at the sf dir. Extra keys report derived throughput
+(instances/s, tiles/s) for the north_rule comparison; BASELINE.md's
+reference numbers are 13.4k instances/s / 53.5 tiles/s single-threaded.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", 32))
+N_EXPORT = int(os.environ.get("BENCH_EXPORT_ROWS", 600_000))
+
+
+def main() -> None:
+    from i3dm_export_spark.config import ExportOptions
+    from i3dm_export_spark.operators import extent, tiling
+    from i3dm_export_spark.operators.encode import encode_tiles
+    from i3dm_export_spark.session import get_spark
+    from i3dm_export_spark.sources.pages import pages_df
+
+    import __spark_entry__ as entry
+
+    spark = get_spark(app_name="i3dm_export_spark_bench", master=f"local[{CPUS}]",
+                      shuffle_partitions=CPUS)
+
+    timings: dict[str, float] = {}
+    extras: dict[str, float] = {}
+
+    # ---- headline: tiling export over 600k synthesized instances ----------
+    pages = pages_df(spark, N_EXPORT, scenario="A", partitions=CPUS)
+    pages = pages.localCheckpoint()  # exclude synthesis from the measurement
+    n_instances = pages.count()
+
+    t0 = time.perf_counter()
+    bounds = extent.compute_bounds(pages)
+    opts = ExportOptions(max_features_per_tile=1000, max_level=14, use_i3dm=True)
+    tree = tiling.build_tile_tree(pages, bounds, opts, deep_level=14)
+    assigned = tiling.assign_to_content_tiles(pages, tree, opts)
+    # ECEF encode is required for payload encoding
+    from i3dm_export_spark.plans.pipeline import stage1_encode
+
+    encoded = stage1_encode(assigned)
+    payloads = encode_tiles(encoded, opts)
+    n_tiles = payloads.count()
+    dt = time.perf_counter() - t0
+    timings["export_pipeline"] = round(dt, 3)
+    extras["export_instances"] = n_instances
+    extras["export_content_tiles"] = n_tiles
+    extras["instances_per_sec"] = round(n_instances / dt, 1)
+    extras["tiles_per_sec"] = round(n_tiles / dt, 2)
+
+    # ---- operator queries at the sf dir ------------------------------------
+    qs = entry.queries()
+    for name in (
+        "tile_tree", "leaf_assignment", "knn", "pip_rect", "range_join",
+        "dedup_exact", "minhash_sigs", "lsh_pairs", "simhash",
+        "cosine_topk", "text_quality", "text_langid", "events_hourly",
+        "cluster_kmeans",
+    ):
+        t0 = time.perf_counter()
+        n = qs[name](spark, SF_DIR).count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        extras[f"rows_{name}"] = n
+
+    total = round(sum(timings.values()), 3)
+    sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
+    print(
+        json.dumps(
+            {
+                "metric": "tiling_export_and_operator_suite",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf else None,
+                "cpus": CPUS,
+                **extras,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

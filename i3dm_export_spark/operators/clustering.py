@@ -127,6 +127,9 @@ def cluster_tiles(assigned, opts, order_col: str = "url"):
     """
     from pyspark.sql import functions as F
 
+    from ..packaging import ensure_shipped
+
+    ensure_shipped(assigned.sparkSession)
     k = opts.max_features_per_tile
     seed = opts.cluster_seed
 

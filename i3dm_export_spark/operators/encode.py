@@ -295,6 +295,9 @@ def encode_tiles(assigned, opts, order_col: str = "url"):
     tile with the payload bytes column (K1 sink-ready)."""
     from pyspark.sql import functions as F, types as T
 
+    from ..packaging import ensure_shipped
+
+    ensure_shipped(assigned.sparkSession)
     keep = opts.keep_projection
     use_i3dm = opts.use_i3dm
     snu = opts.use_scale_non_uniform

@@ -38,6 +38,10 @@ def compute_bounds(
         F.min(z).alias("zmin"),
         F.max(z).alias("zmax"),
     ).collect()[0]
+    if row["xmin"] is None:
+        raise ValueError(
+            "extent scan found no rows (empty table or over-restrictive query)"
+        )
     return derive_root_bounds(
         row["xmin"], row["ymin"], row["xmax"], row["ymax"],
         row["zmin"], row["zmax"], heights, clamp,

@@ -1,0 +1,396 @@
+"""DuckDB oracle SQL builders for __spark_entry__.
+
+Every query in __spark_entry__.queries() has a matching ANSI-SQL text here
+that DuckDB evaluates over the same parquet views. Cross-engine value
+equality is engineered, not hoped for:
+
+* cell keys / extents / distances: identical double arithmetic (same
+  literals, same op order; power-of-two scaling exact in IEEE754);
+* hashes: md5 hex strings (identical in Spark and DuckDB); min() over
+  fixed-length hex == min over the 128-bit value;
+* SimHash / Jaccard / rolling hash: integer arithmetic only;
+* the few genuinely FP-accumulating results (ECEF trig, cosine folds,
+  event sums) are rounded to a tolerance far above libm drift;
+* DuckDB regexp_replace needs the explicit 'g' flag to match Spark's
+  replace-all default.
+"""
+
+from __future__ import annotations
+
+from .functions.text import BPE_RE, STOPWORDS
+from .sources.pages import DOCS_BBOX, INSTANCE_CTE
+
+BBOX = DOCS_BBOX
+_X0, _Y0, _X1, _Y1 = BBOX
+_W = _X1 - _X0
+_H = _Y1 - _Y0
+
+NORM_TEXT = "lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))"
+
+
+def cell_expr(axis: str, level: int) -> str:
+    """Quadtree cell key expr (matches operators/tiling.with_cell_keys)."""
+    n = 1 << level
+    col, lo, span = ("lon", _X0, _W) if axis == "x" else ("lat", _Y0, _H)
+    return (
+        f"CAST(LEAST(GREATEST(FLOOR(({col} - {lo!r}) / {span!r} * {n}), 0), {n - 1}) AS BIGINT)"
+    )
+
+
+def tree_ctes(max_features: int, max_level: int) -> str:
+    """Non-recursive per-level CTE chain reproducing the T2 decision table:
+    counts per level via group-by, children of split parents left-join the
+    next level's counts (empty children recorded with cnt=0)."""
+    parts = [INSTANCE_CTE[5:]]  # strip leading 'WITH '
+    for lvl in range(max_level + 1):
+        parts.append(
+            f"c{lvl} AS (SELECT {cell_expr('x', lvl)} AS x, {cell_expr('y', lvl)} AS y, "
+            f"COUNT(*) AS cnt FROM instances GROUP BY 1, 2)"
+        )
+    parts.append(
+        "l0 AS (SELECT 0 AS level, CAST(0 AS BIGINT) AS x, CAST(0 AS BIGINT) AS y, "
+        "COALESCE((SELECT SUM(cnt) FROM c0), 0) AS cnt)"
+    )
+    for lvl in range(1, max_level + 1):
+        parts.append(
+            f"l{lvl} AS (SELECT {lvl} AS level, ch.x, ch.y, COALESCE(c.cnt, 0) AS cnt "
+            f"FROM (SELECT p.x*2+d.dx AS x, p.y*2+d.dy AS y "
+            f"      FROM l{lvl - 1} p, (VALUES (0,0),(0,1),(1,0),(1,1)) d(dx, dy) "
+            f"      WHERE p.cnt > {max_features}) ch "
+            f"LEFT JOIN c{lvl} c ON c.x = ch.x AND c.y = ch.y)"
+        )
+    union = " UNION ALL ".join(f"SELECT * FROM l{lvl}" for lvl in range(max_level + 1))
+    parts.append(f"tree AS ({union})")
+    return "WITH " + ",\n".join(parts)
+
+
+def tree_select(max_features: int, max_level: int) -> str:
+    """Availability columns per the T2 table + forced leaf at max_level."""
+    return (
+        f"SELECT CAST(level AS INT) AS level, x, y, "
+        f"(cnt > 0 AND (cnt <= {max_features} OR level = {max_level})) AS available, "
+        f"(cnt > 0 AND (cnt <= {max_features} OR level = {max_level})) AS content_available, "
+        f"CAST(cnt AS BIGINT) AS n_instances FROM tree"
+    )
+
+
+def q_tile_tree(max_features: int = 50, max_level: int = 6) -> str:
+    return f"{tree_ctes(max_features, max_level)}\n{tree_select(max_features, max_level)}"
+
+
+def q_leaf_assignment(max_features: int = 50, max_level: int = 6) -> str:
+    lvl_cases_x = " ".join(
+        f"WHEN t.level = {lvl} THEN {cell_expr('x', lvl)}" for lvl in range(max_level + 1)
+    )
+    lvl_cases_y = " ".join(
+        f"WHEN t.level = {lvl} THEN {cell_expr('y', lvl)}" for lvl in range(max_level + 1)
+    )
+    return (
+        f"{tree_ctes(max_features, max_level)},\n"
+        f"content AS ({tree_select(max_features, max_level)}"
+        f"), leaves AS (SELECT level, x, y FROM content WHERE content_available)\n"
+        f"SELECT i.doc_id, CAST(t.level AS INT) AS level, t.x, t.y\n"
+        f"FROM instances i JOIN leaves t\n"
+        f"  ON (CASE {lvl_cases_x} END) = t.x AND (CASE {lvl_cases_y} END) = t.y"
+    )
+
+
+def q_tile_counts(level: int = 5) -> str:
+    return (
+        f"{INSTANCE_CTE}\n"
+        f"SELECT {cell_expr('x', level)} AS x, {cell_expr('y', level)} AS y, "
+        f"COUNT(*) AS n FROM instances GROUP BY 1, 2"
+    )
+
+
+def q_extent() -> str:
+    """Min/max + the reference's asymmetric 10% inflation (F12/A2), as one
+    nested select mirroring operators/extent.derive_root_bounds."""
+    return (
+        f"{INSTANCE_CTE},\n"
+        "raw AS (SELECT MIN(lon) AS xmin0, MAX(lon) AS xmax0, MIN(lat) AS ymin0, "
+        "MAX(lat) AS ymax0, MIN(z) + 0.0 AS zmin, MAX(z) + 10.0 AS zmax FROM instances),\n"
+        "s1 AS (SELECT xmin0 - (xmax0 - xmin0) * 0.1 AS xmin, "
+        "ymin0 - (ymax0 - ymin0) * 0.1 AS ymin, xmax0, ymax0, zmin, zmax FROM raw)\n"
+        "SELECT xmin, ymin, xmax0 + (xmax0 - xmin) * 0.1 AS xmax, "
+        "ymax0 + (ymax0 - ymin) * 0.1 AS ymax, zmin, zmax FROM s1"
+    )
+
+
+def q_count_in_box() -> str:
+    return (
+        f"{INSTANCE_CTE}\n"
+        "SELECT COUNT(*) AS n FROM instances "
+        "WHERE lon >= 34.02 AND lon < 34.06 AND lat >= 44.02 AND lat < 44.06 "
+        "AND lang = 'en'"
+    )
+
+
+def q_instance_fetch_ecef() -> str:
+    from .functions.geodesy import WGS84_A, WGS84_E2  # same constants as the UDF
+
+    return (
+        f"{INSTANCE_CTE},\n"
+        "t AS (SELECT doc_id, radians(lon) AS lam, radians(lat) AS phi, scale, model "
+        "FROM instances),\n"
+        f"n AS (SELECT *, {WGS84_A!r} / sqrt(1.0 - {WGS84_E2!r} * sin(phi) * sin(phi)) AS nn FROM t)\n"
+        "SELECT doc_id, ROUND(nn * cos(phi) * cos(lam), 2) AS x_ecef, "
+        "ROUND(nn * cos(phi) * sin(lam), 2) AS y_ecef, "
+        f"ROUND(nn * (1.0 - {WGS84_E2!r}) * sin(phi), 2) AS z_ecef, scale, model FROM n"
+    )
+
+
+def q_rtc_relative(level: int = 3) -> str:
+    return (
+        f"{INSTANCE_CTE},\n"
+        f"keyed AS (SELECT doc_id, lon, lat, {cell_expr('x', level)} AS x, "
+        f"{cell_expr('y', level)} AS y FROM instances)\n"
+        "SELECT doc_id, x, y, "
+        "lon - FIRST_VALUE(lon) OVER w AS dx, "
+        "lat - FIRST_VALUE(lat) OVER w AS dy "
+        "FROM keyed WINDOW w AS (PARTITION BY x, y ORDER BY doc_id "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)"
+    )
+
+
+def q_distinct_models(level: int = 3) -> str:
+    return (
+        f"{INSTANCE_CTE}\n"
+        f"SELECT {cell_expr('x', level)} AS x, {cell_expr('y', level)} AS y, "
+        "COUNT(DISTINCT model) AS n_models, MIN(model) AS first_model "
+        "FROM instances GROUP BY 1, 2"
+    )
+
+
+def q_batch_table(level: int = 2) -> str:
+    return (
+        f"{INSTANCE_CTE},\n"
+        f"keyed AS (SELECT doc_id, lang, {cell_expr('x', level)} AS x, "
+        f"{cell_expr('y', level)} AS y FROM instances)\n"
+        "SELECT x, y, '{\"lang\":[' || STRING_AGG('\"' || lang || '\"', ',' ORDER BY doc_id) "
+        "|| '],\"id\":[' || STRING_AGG('\"' || CAST(doc_id AS VARCHAR) || '\"', ',' ORDER BY doc_id) "
+        "|| ']}' AS batch_json FROM keyed GROUP BY x, y"
+    )
+
+
+def q_knn(k: int = 3, n_query: int = 50, n_cand: int = 200) -> str:
+    return (
+        f"{INSTANCE_CTE},\n"
+        f"q AS (SELECT doc_id, lon, lat FROM instances WHERE doc_id < {n_query}),\n"
+        f"c AS (SELECT doc_id AS neighbor_id, lon AS nx, lat AS ny FROM instances "
+        f"WHERE doc_id < {n_cand}),\n"
+        "d AS (SELECT q.doc_id, c.neighbor_id, "
+        "(q.lon - c.nx) * (q.lon - c.nx) + (q.lat - c.ny) * (q.lat - c.ny) AS d2 "
+        "FROM q, c WHERE q.doc_id != c.neighbor_id),\n"
+        "r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id "
+        "ORDER BY d2 ASC, neighbor_id ASC) AS rank FROM d)\n"
+        f"SELECT doc_id, neighbor_id, CAST(rank AS INT) AS rank, d2 FROM r WHERE rank <= {k}"
+    )
+
+
+def q_pip_rect(grid: int = 4) -> str:
+    cell_w = _W / grid
+    cell_h = _H / grid
+    return (
+        f"{INSTANCE_CTE},\n"
+        f"rects AS (SELECT CAST(r AS BIGINT) AS boundary_id, "
+        f"{_X0!r} + (r % {grid}) * {cell_w!r} AS min_lon, "
+        f"{_X0!r} + (r % {grid} + 1) * {cell_w!r} AS max_lon, "
+        f"{_Y0!r} + (r // {grid}) * {cell_h!r} AS min_lat, "
+        f"{_Y0!r} + (r // {grid} + 1) * {cell_h!r} AS max_lat "
+        f"FROM range({grid * grid}) t(r))\n"
+        "SELECT i.doc_id, b.boundary_id FROM instances i JOIN rects b "
+        "ON i.lon >= b.min_lon AND i.lon < b.max_lon "
+        "AND i.lat >= b.min_lat AND i.lat < b.max_lat"
+    )
+
+
+def q_range_join(grid: int = 8, level: int = 3, margin: float = 0.1) -> str:
+    cw = _W / grid
+    ch = _H / grid
+    n = 1 << level
+    tw = _W / n
+    th = _H / n
+    return (
+        f"WITH rasters AS (SELECT CAST(r AS BIGINT) AS raster_id, "
+        f"{_X0!r} + (r % {grid}) * {cw!r} - {cw * margin!r} AS min_lon, "
+        f"{_X0!r} + (r % {grid} + 1) * {cw!r} + {cw * margin!r} AS max_lon, "
+        f"{_Y0!r} + (r // {grid}) * {ch!r} - {ch * margin!r} AS min_lat, "
+        f"{_Y0!r} + (r // {grid} + 1) * {ch!r} + {ch * margin!r} AS max_lat "
+        f"FROM range({grid * grid}) t(r)),\n"
+        f"tiles AS (SELECT CAST(c % {n} AS BIGINT) AS x, CAST(c // {n} AS BIGINT) AS y, "
+        f"{_X0!r} + (c % {n}) * {tw!r} AS min_lon, {_X0!r} + (c % {n} + 1) * {tw!r} AS max_lon, "
+        f"{_Y0!r} + (c // {n}) * {th!r} AS min_lat, {_Y0!r} + (c // {n} + 1) * {th!r} AS max_lat "
+        f"FROM range({n * n}) t(c))\n"
+        "SELECT r.raster_id, t.x, t.y FROM rasters r JOIN tiles t "
+        "ON r.min_lon < t.max_lon AND r.max_lon > t.min_lon "
+        "AND r.min_lat < t.max_lat AND r.max_lat > t.min_lat"
+    )
+
+
+# ---------------------------------------------------------------------------
+# dedup / text / similarity
+# ---------------------------------------------------------------------------
+
+def q_dedup_exact() -> str:
+    return (
+        f"SELECT md5({NORM_TEXT}) AS text_hash, MIN(doc_id) AS representative, "
+        "COUNT(*) AS n_dups FROM documents GROUP BY 1"
+    )
+
+
+_SHINGLES = (
+    f"norm AS (SELECT doc_id, {NORM_TEXT} AS tt FROM documents),\n"
+    "nums AS (SELECT CAST(n AS INT) AS s FROM range(1, 100001) t(n)),\n"
+    "sh AS (SELECT DISTINCT doc_id, substring(tt, s, {n}) AS shingle "
+    "FROM norm JOIN nums ON s <= GREATEST(length(tt) - {n_minus_1}, 1))"
+)
+
+
+def _shingle_cte(n: int) -> str:
+    return _SHINGLES.format(n=n, n_minus_1=n - 1)
+
+
+def _sigs_cte(n_bands: int, rows_per_band: int) -> str:
+    """Banded-minhash signature CTEs (matches operators/dedup.minhash_signatures)."""
+    return (
+        f"hashes AS (SELECT CAST(hid // {rows_per_band} AS BIGINT) AS band, "
+        f"hid % {rows_per_band} AS row FROM range({n_bands * rows_per_band}) t(hid)),\n"
+        "mh AS (SELECT doc_id, band, row, "
+        "MIN(md5(CAST(band AS VARCHAR) || '.' || CAST(row AS VARCHAR) || '#' || shingle)) AS mh "
+        "FROM sh, hashes GROUP BY doc_id, band, row),\n"
+        "sigs AS (SELECT doc_id, band, "
+        "STRING_AGG(CAST(row AS VARCHAR) || ':' || mh, '|' "
+        "ORDER BY CAST(row AS VARCHAR) || ':' || mh) AS sig "
+        "FROM mh GROUP BY doc_id, band)"
+    )
+
+
+def q_minhash_sigs(n_bands: int = 4, shingle_n: int = 5, rows_per_band: int = 2) -> str:
+    return (
+        f"WITH {_shingle_cte(shingle_n)},\n{_sigs_cte(n_bands, rows_per_band)}\n"
+        "SELECT doc_id, band, sig FROM sigs"
+    )
+
+
+def q_lsh_pairs(n_bands: int = 4, shingle_n: int = 5, rows_per_band: int = 2) -> str:
+    return (
+        f"WITH {_shingle_cte(shingle_n)},\n{_sigs_cte(n_bands, rows_per_band)}\n"
+        "SELECT DISTINCT l.doc_id AS a, r.doc_id AS b FROM sigs l JOIN sigs r "
+        "ON l.band = r.band AND l.sig = r.sig AND l.doc_id < r.doc_id"
+    )
+
+
+def q_simhash(bits: int = 16) -> str:
+    sums = ", ".join(
+        f"SUM(CASE WHEN substring(h, {j + 1}, 1) IN "
+        f"('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS b{j}"
+        for j in range(bits)
+    )
+    total = " + ".join(f"(CASE WHEN b{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(bits))
+    return (
+        f"WITH norm AS (SELECT doc_id, {NORM_TEXT} AS tt FROM documents),\n"
+        "toks AS (SELECT doc_id, md5(tok) AS h FROM norm, "
+        "LATERAL unnest(string_split(tt, ' ')) u(tok) WHERE length(tok) > 0),\n"
+        f"s AS (SELECT doc_id, {sums} FROM toks GROUP BY doc_id)\n"
+        f"SELECT doc_id, CAST({total} AS BIGINT) AS simhash FROM s"
+    )
+
+
+def q_ngram_jaccard(n: int = 3, n_bands: int = 4, shingle_n: int = 5,
+                    rows_per_band: int = 2) -> str:
+    return (
+        f"WITH {_shingle_cte(shingle_n)},\n{_sigs_cte(n_bands, rows_per_band)},\n"
+        "cand AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b FROM sigs l JOIN sigs r "
+        "ON l.band = r.band AND l.sig = r.sig AND l.doc_id < r.doc_id),\n"
+        f"sh3 AS (SELECT DISTINCT doc_id, substring(tt, s, {n}) AS shingle "
+        f"FROM norm JOIN nums ON s <= GREATEST(length(tt) - {n - 1}, 1)),\n"
+        "sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh3 GROUP BY doc_id),\n"
+        "inter AS (SELECT c.a, c.b, COUNT(*) AS n_inter FROM cand c "
+        "JOIN sh3 sa ON sa.doc_id = c.a JOIN sh3 sb ON sb.doc_id = c.b "
+        "AND sa.shingle = sb.shingle GROUP BY c.a, c.b)\n"
+        "SELECT i.a, i.b, i.n_inter, za.sz AS sz_a, zb.sz AS sz_b, "
+        "CAST(i.n_inter AS DOUBLE) / (za.sz + zb.sz - i.n_inter) AS jaccard "
+        "FROM inter i JOIN sizes za ON za.doc_id = i.a JOIN sizes zb ON zb.doc_id = i.b"
+    )
+
+
+def q_cosine_topk(k: int = 5, n_query: int = 10) -> str:
+    dot = "list_dot_product(q.e, c.e)"
+    nq = "sqrt(list_dot_product(q.e, q.e))"
+    nc = "sqrt(list_dot_product(c.e, c.e))"
+    return (
+        "WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),\n"
+        f"q AS (SELECT vec_id, e FROM v WHERE vec_id < {n_query}),\n"
+        "c AS (SELECT vec_id, e FROM v),\n"
+        "d AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, "
+        f"ROUND({dot} / ({nq} * {nc}), 6) AS cosine FROM q, c "
+        "WHERE q.vec_id != c.vec_id),\n"
+        "r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id "
+        "ORDER BY cosine DESC, neighbor_id ASC) AS rank FROM d)\n"
+        f"SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, cosine FROM r WHERE rank <= {k}"
+    )
+
+
+def q_text_tokens() -> str:
+    return (
+        f"WITH norm AS (SELECT doc_id, {NORM_TEXT} AS tt FROM documents)\n"
+        "SELECT doc_id, CAST(CASE WHEN length(tt) = 0 THEN 0 ELSE "
+        "len(string_split(tt, ' ')) END AS BIGINT) AS n_tokens, "
+        f"CAST(len(regexp_extract_all(tt, '{BPE_RE}')) AS BIGINT) AS n_bpe_tokens "
+        "FROM norm"
+    )
+
+
+def q_text_quality() -> str:
+    return (
+        f"WITH norm AS (SELECT doc_id, {NORM_TEXT} AS tt FROM documents),\n"
+        "c AS (SELECT doc_id, CAST(length(tt) AS BIGINT) AS n, "
+        "CAST(length(tt) - length(regexp_replace(tt, '[a-z]', '', 'g')) AS BIGINT) AS alpha, "
+        "CAST(length(tt) - length(regexp_replace(tt, '[0-9]', '', 'g')) AS BIGINT) AS digit, "
+        "CAST(length(tt) - length(regexp_replace(tt, ' ', '', 'g')) AS BIGINT) AS space, "
+        "CAST(CASE WHEN length(tt) = 0 THEN 0 ELSE len(string_split(tt, ' ')) END AS BIGINT) AS ntok "
+        "FROM norm)\n"
+        "SELECT doc_id, n AS n_chars_norm, ntok AS n_tokens, "
+        "alpha / GREATEST(n, 1) AS alpha_ratio, "
+        "digit / GREATEST(n, 1) AS digit_ratio, "
+        "(n - alpha - digit - space) / GREATEST(n, 1) AS punct_ratio, "
+        "(n - space) / GREATEST(ntok, 1) AS mean_token_len FROM c"
+    )
+
+
+def q_text_langid() -> str:
+    score_exprs = []
+    for lang, words in STOPWORDS.items():
+        parts = " + ".join(
+            f"len(regexp_extract_all(tt, '\\b{w}\\b'))" for w in words
+        )
+        score_exprs.append(f"CAST({parts} AS BIGINT) AS s_{lang}")
+    return (
+        f"WITH norm AS (SELECT doc_id, {NORM_TEXT} AS tt FROM documents),\n"
+        f"s AS (SELECT doc_id, {', '.join(score_exprs)} FROM norm)\n"
+        "SELECT doc_id, s_en, s_fr, s_de, s_nl, "
+        "CASE WHEN s_nl > GREATEST(s_en, s_fr, s_de) THEN 'nl' "
+        "WHEN s_de > GREATEST(s_en, s_fr) THEN 'de' "
+        "WHEN s_fr > s_en THEN 'fr' ELSE 'en' END AS lang_guess FROM s"
+    )
+
+
+def q_text_fingerprint() -> str:
+    # rolling hash over first 32 chars, base 131 mod 1e9+7 (integer only)
+    h = "CAST(0 AS BIGINT)"
+    for i in range(1, 33):
+        c = f"(CASE WHEN length(tt) >= {i} THEN ascii(substring(tt, {i}, 1)) ELSE 0 END)"
+        h = f"(({h}) * 131 + {c}) % 1000000007"
+    return (
+        f"WITH norm AS (SELECT doc_id, {NORM_TEXT} AS tt FROM documents)\n"
+        f"SELECT doc_id, md5(tt) AS fp_md5, CAST({h} AS BIGINT) AS fp_roll FROM norm"
+    )
+
+
+def q_events_hourly() -> str:
+    return (
+        "SELECT event_type, strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, "
+        "COUNT(*) AS n, ROUND(SUM(value), 4) AS sum_value "
+        "FROM events GROUP BY 1, 2"
+    )

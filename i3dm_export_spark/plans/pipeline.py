@@ -71,6 +71,9 @@ def stage1_encode(instances: DataFrame, s2_level: int = 16) -> DataFrame:
     """F17 + S2 cell keys in ONE Arrow-batched pandas UDF (the reference
     reprojects inside each fetch query, src/InstancesRepository.cs:42,52;
     here exactly once, checkpointed)."""
+    from ..packaging import ensure_shipped
+
+    ensure_shipped(instances.sparkSession)
 
     @F.pandas_udf(_ECEF_SCHEMA)
     def _encode(lon: pd.Series, lat: pd.Series, z: pd.Series) -> pd.DataFrame:

@@ -81,12 +81,18 @@ def synthesize_pages(n: int = 2500, scenario: str = "A", seed: int = 42) -> pd.D
     )
 
 
-def pages_df(spark, n: int = 2500, scenario: str = "A", partitions: int | None = None):
-    """Pages fixture as a Spark DataFrame (Arrow-backed createDataFrame)."""
-    from pyspark.sql import functions as F
+PAGES_SCHEMA = (
+    "url string, warc_ts timestamp, html binary, text string, lang string, "
+    "lon double, lat double, z double, scale double, yaw double, "
+    "pitch double, roll double, model string, tags string"
+)
 
+
+def pages_df(spark, n: int = 2500, scenario: str = "A", partitions: int | None = None):
+    """Pages fixture as a Spark DataFrame. Explicit schema: the all-NULL
+    tags column breaks inference on non-Arrow sessions."""
     pdf = synthesize_pages(n, scenario)
-    df = spark.createDataFrame(pdf).withColumn("tags", F.col("tags").cast("string"))
+    df = spark.createDataFrame(pdf, schema=PAGES_SCHEMA)
     if partitions:
         df = df.repartition(partitions)
     return df
@@ -97,14 +103,22 @@ def pages_df(spark, n: int = 2500, scenario: str = "A", partitions: int | None =
 # identical results in Spark SQL and DuckDB — the correctness-gate contract).
 # ---------------------------------------------------------------------------
 
-# multiplicative hashes (Knuth 2654435761 and a 31-bit LCG multiplier)
-_LON_EXPR = "(34.0 + ((doc_id * 2654435761) % 1000000) / 10000000.0)"
-_LAT_EXPR = "(44.0 + ((doc_id * 1099087573) % 1000000) / 10000000.0)"
+# multiplicative hashes (Knuth 2654435761 and a 31-bit LCG multiplier).
+# Every fractional literal is CAST to DOUBLE: Spark parses bare decimal
+# literals as DECIMAL (exact) while DuckDB uses DOUBLE — without the casts
+# the two engines do different arithmetic.
+_LON_EXPR = (
+    "(CAST(34.0 AS DOUBLE) + ((doc_id * 2654435761) % 1000000) / CAST(10000000.0 AS DOUBLE))"
+)
+_LAT_EXPR = (
+    "(CAST(44.0 AS DOUBLE) + ((doc_id * 1099087573) % 1000000) / CAST(10000000.0 AS DOUBLE))"
+)
 
 INSTANCE_COLS = (
-    f"doc_id, {_LON_EXPR} AS lon, {_LAT_EXPR} AS lat, 0.0 AS z, 50.0 AS scale, "
-    "0.0 AS yaw, 0.0 AS pitch, 0.0 AS roll, "
-    "CONCAT('m', CAST(doc_id % 3 AS VARCHAR), '.glb') AS model, "
+    f"doc_id, {_LON_EXPR} AS lon, {_LAT_EXPR} AS lat, "
+    "CAST(0.0 AS DOUBLE) AS z, CAST(50.0 AS DOUBLE) AS scale, "
+    "CAST(0.0 AS DOUBLE) AS yaw, CAST(0.0 AS DOUBLE) AS pitch, CAST(0.0 AS DOUBLE) AS roll, "
+    "CONCAT('m', doc_id % 3, '.glb') AS model, "
     "lang, n_chars, text"
 )
 
