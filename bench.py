@@ -48,7 +48,7 @@ def main() -> None:
     t0 = time.perf_counter()
     bounds = extent.compute_bounds(pages)
     opts = ExportOptions(max_features_per_tile=1000, max_level=14, use_i3dm=True)
-    tree = tiling.build_tile_tree(pages, bounds, opts, deep_level=14)
+    tree = tiling.build_tile_tree(pages, bounds, opts, n_estimate=n_instances)
     assigned = tiling.assign_to_content_tiles(pages, tree, opts)
     # ECEF encode is required for payload encoding
     from i3dm_export_spark.plans.pipeline import stage1_encode

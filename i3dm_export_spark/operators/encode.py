@@ -313,12 +313,22 @@ def encode_tiles(assigned, opts, order_col: str = "url"):
         ]
     )
 
+    gpu = opts.use_gpu_instancing
+
     def _encode(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        data = encode_tile_pdf(
-            pdf, keep_projection=keep, use_i3dm=use_i3dm,
-            use_scale_non_uniform=snu, use_external_model=ext,
-            order_col=order_col,
-        )
+        if gpu:
+            from .gpu_encode import encode_gpu_tile_pdf
+
+            data = encode_gpu_tile_pdf(
+                pdf, keep_projection=keep, use_scale_non_uniform=snu,
+                order_col=order_col,
+            )
+        else:
+            data = encode_tile_pdf(
+                pdf, keep_projection=keep, use_i3dm=use_i3dm,
+                use_scale_non_uniform=snu, use_external_model=ext,
+                order_col=order_col,
+            )
         return pd.DataFrame(
             {
                 "level": [int(key[0])], "x": [int(key[1])], "y": [int(key[2])],

@@ -95,6 +95,7 @@ def build_tile_tree(
     bounds: Bounds,
     opts: ExportOptions,
     deep_level: int | None = None,
+    n_estimate: int | None = None,
 ) -> TileTree:
     """Stage 2: the full availability tree as a DataFrame.
 
@@ -107,12 +108,145 @@ def build_tile_tree(
     an over-full cell at max_level becomes a forced content leaf (the
     reference recursion is unbounded and would not terminate on >max
     coincident points).
+
+    ``deep_level`` (the resolution of the single instance shuffle) defaults
+    to an estimate from the row count — log4(n/max_features) + 3 levels of
+    skew slack — and the build retries deeper if any non-final level still
+    holds an over-full forced leaf, so skewed data never silently loses
+    resolution while uniform data avoids paying for a needlessly deep
+    roll-up chain.
     """
     spark = instances.sparkSession
 
-    # pick a deep level: enough that most leaves resolve, bounded by opts
     if deep_level is None:
-        deep_level = opts.max_level
+        import math
+
+        n = n_estimate if n_estimate is not None else instances.count()
+        est = math.ceil(math.log(max(n / max(opts.max_features_per_tile, 1), 1), 4))
+        deep_level = min(max(est + 3, 2), opts.max_level)
+        while True:
+            tree = _build_tile_tree_at(instances, bounds, opts, deep_level)
+            if deep_level >= opts.max_level:
+                return tree
+            overflow = tree.tiles.filter(
+                (F.col("level") == deep_level)
+                & F.col("content_available")
+                & (F.col("n_instances") > opts.max_features_per_tile)
+            )
+            if overflow.limit(1).count() == 0:
+                return tree
+            deep_level = min(deep_level + 4, opts.max_level)
+    return _build_tile_tree_at(instances, bounds, opts, deep_level)
+
+
+def descend_counts_pandas(
+    xs, ys, cnts, deep_level: int, max_features: int, clustering: bool,
+    floor_level: int,
+):
+    """Driver-side T2 descent over collected deep-cell counts (numpy).
+
+    Produces exactly the same rows as the distributed per-level path —
+    asserted by tests/test_tiling.py::TestDriverDescentParity. Used when
+    the number of non-empty deep cells is small enough to collect (the
+    common case below ~millions of cells); the distributed path remains
+    for 10^12-row inputs whose cell tables exceed driver memory.
+    """
+    import numpy as np
+    import pandas as pd
+
+    xs = np.asarray(xs, np.int64)
+    ys = np.asarray(ys, np.int64)
+    cnts = np.asarray(cnts, np.int64)
+
+    # roll-ups: counts per level from deep to 0 (packed key -> cnt)
+    counts_by_level: dict[int, dict] = {}
+    cur_x, cur_y, cur_c = xs, ys, cnts
+    counts_by_level[deep_level] = (cur_x, cur_y, cur_c)
+    for lvl in range(deep_level - 1, -1, -1):
+        key = ((cur_x >> 1) << np.int64(32)) | (cur_y >> 1)
+        uniq, inv = np.unique(key, return_inverse=True)
+        summed = np.bincount(inv, weights=cur_c).astype(np.int64)
+        cur_x = (uniq >> np.int64(32)).astype(np.int64)
+        cur_y = (uniq & np.int64(0xFFFFFFFF)).astype(np.int64)
+        cur_c = summed
+        counts_by_level[lvl] = (cur_x, cur_y, cur_c)
+
+    lookup = {
+        lvl: dict(zip(((x << np.int64(32)) | y).tolist(), c.tolist()))
+        for lvl, (x, y, c) in counts_by_level.items()
+    }
+
+    rows = {"level": [], "x": [], "y": [], "available": [],
+            "content_available": [], "n_instances": []}
+
+    def emit(lvl, x, y, cnt):
+        is_floor = lvl >= floor_level
+        split = cnt > max_features and not is_floor
+        content = (0 < cnt <= max_features) or (split and clustering) or (
+            cnt > max_features and is_floor
+        )
+        rows["level"].append(lvl)
+        rows["x"].append(x)
+        rows["y"].append(y)
+        rows["available"].append(content)
+        rows["content_available"].append(content)
+        rows["n_instances"].append(cnt)
+        return split
+
+    root_cnt = int(cnts.sum())
+    frontier = [(0, 0)] if emit(0, 0, 0, root_cnt) else []
+    for lvl in range(1, deep_level + 1):
+        nxt = []
+        lut = lookup[lvl]
+        for px, py in frontier:
+            for dx in (0, 1):
+                for dy in (0, 1):
+                    cx, cy = px * 2 + dx, py * 2 + dy
+                    cnt = lut.get((cx << 32) | cy, 0)
+                    if emit(lvl, cx, cy, cnt):
+                        nxt.append((cx, cy))
+        frontier = nxt
+        if not frontier:
+            break
+
+    pdf = pd.DataFrame(rows)
+    pdf["level"] = pdf["level"].astype("int32")
+    return pdf
+
+
+def _build_tile_tree_at(
+    instances: DataFrame, bounds: Bounds, opts: ExportOptions, deep_level: int,
+    driver_threshold: int = 4_000_000,
+) -> TileTree:
+    spark = instances.sparkSession
+
+    floor_level = min(opts.max_level, deep_level)
+    deep_df = deep_counts(instances, bounds, deep_level, opts.query)
+    n_cells = deep_df.count()
+    if n_cells <= driver_threshold:
+        # fast path: ONE Spark job (the groupBy); descent on the driver
+        pdf = deep_df.toPandas()
+        tiles_pdf = descend_counts_pandas(
+            pdf["cell_x"], pdf["cell_y"], pdf["cnt"], deep_level,
+            opts.max_features_per_tile, opts.use_clustering, floor_level,
+        )
+        tiles = spark.createDataFrame(
+            tiles_pdf,
+            schema="level int, x bigint, y bigint, available boolean, "
+                   "content_available boolean, n_instances bigint",
+        ).persist()
+        max_content_level = int(
+            tiles_pdf.loc[tiles_pdf.content_available, "level"].max()
+        ) if tiles_pdf.content_available.any() else 0
+        return TileTree(tiles=tiles, deep_level=deep_level, bounds=bounds,
+                        max_content_level=max_content_level)
+    return _build_tile_tree_distributed(instances, bounds, opts, deep_level)
+
+
+def _build_tile_tree_distributed(
+    instances: DataFrame, bounds: Bounds, opts: ExportOptions, deep_level: int
+) -> TileTree:
+    spark = instances.sparkSession
 
     # ONE shuffle over instances; localCheckpoint cuts the lineage so the
     # iterative per-level plans below stay O(1) for the optimizer (without

@@ -128,3 +128,29 @@ class TestAssignment:
         assigned = tiling.assign_to_content_tiles(df, tree, opts)
         # over-full content tiles receive their full subtree multiset
         assert assigned.count() > 2500
+
+
+class TestDriverDescentParity:
+    """The driver-side descent fast path must produce exactly the same tiles
+    as the distributed per-level path."""
+
+    @pytest.mark.parametrize("max_features,clustering", [(100, False), (100, True)])
+    def test_paths_agree(self, spark, fixture_pages, fixture_bounds, max_features, clustering):
+        opts = ExportOptions(max_features_per_tile=max_features,
+                             use_clustering=clustering, max_level=12)
+        df = spark.createDataFrame(fixture_pages)
+        fast = tiling._build_tile_tree_at(df, fixture_bounds, opts, 12)
+        slow = tiling._build_tile_tree_distributed(df, fixture_bounds, opts, 12)
+        got_fast = _tree_to_dict(tiling.collect_tiles(fast))
+        got_slow = _tree_to_dict(tiling.collect_tiles(slow))
+        assert got_fast == got_slow
+
+    def test_threshold_routes_to_distributed(self, spark, fixture_pages, fixture_bounds):
+        opts = ExportOptions(max_features_per_tile=100, max_level=10)
+        df = spark.createDataFrame(fixture_pages)
+        fast = tiling._build_tile_tree_at(df, fixture_bounds, opts, 10, driver_threshold=1)
+        # threshold=1 forces the distributed path; results must still match
+        slow = tiling._build_tile_tree_at(df, fixture_bounds, opts, 10)
+        assert _tree_to_dict(tiling.collect_tiles(fast)) == _tree_to_dict(
+            tiling.collect_tiles(slow)
+        )
