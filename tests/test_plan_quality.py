@@ -1,0 +1,119 @@
+"""Physical-plan quality gates: the optimizations the 100 TB design relies
+on must be visible in `.explain` output — pushdown to the parquet scan,
+broadcast joins for small sides, whole-stage codegen for JVM expressions.
+These tests pin the plan SHAPE so a regression that silently de-optimizes
+(e.g., a UDF sneaking into a filter, a broadcast turning into a shuffle)
+fails loudly.
+"""
+
+import io
+from contextlib import redirect_stdout
+
+import pytest
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+def _plan(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+class TestPushdown:
+    def test_filter_pushed_to_parquet_scan(self, spark):
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        plan = _plan(docs.filter("lang = 'en'").select("doc_id"))
+        assert "PushedFilters" in plan
+        assert "lang" in plan.split("PushedFilters")[1][:200]
+
+    def test_column_pruning(self, spark):
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        plan = _plan(docs.select("doc_id"))
+        # ReadSchema must not include the heavy text column
+        read_schema = plan.split("ReadSchema")[1][:200]
+        assert "text" not in read_schema
+        assert "doc_id" in read_schema
+
+    def test_bbox_predicate_pushed(self, spark):
+        """P1: the spatial range predicate reaches the scan when lon/lat are
+        physical columns (the 100 TB layout stores them materialized)."""
+        import pandas as pd
+
+        from i3dm_export_spark.sources.pages import synthesize_pages
+
+        pdf = synthesize_pages(1000, "A")
+        path = "/tmp/_plan_quality_pages"
+        spark.createDataFrame(pdf.drop(columns=["warc_ts", "html", "tags"])).write.mode(
+            "overwrite"
+        ).parquet(path)
+        pages = spark.read.parquet(path)
+        plan = _plan(pages.filter("lon >= 34.02 AND lon < 34.06"))
+        assert "PushedFilters" in plan
+        pushed = plan.split("PushedFilters")[1][:300]
+        assert "lon" in pushed
+
+
+class TestJoinStrategy:
+    def test_assignment_join_is_broadcast(self, spark):
+        from i3dm_export_spark.config import Bounds, ExportOptions
+        from i3dm_export_spark.operators import tiling
+        from i3dm_export_spark.sources.pages import DOCS_BBOX
+        from i3dm_export_spark.sources.tables import load_table
+
+        load_table(spark, SF_DIR, "documents").createOrReplaceTempView("documents")
+        from i3dm_export_spark.sources.pages import INSTANCE_COLS
+
+        inst = spark.sql(f"SELECT {INSTANCE_COLS} FROM documents")
+        opts = ExportOptions(max_features_per_tile=50, max_level=6)
+        tree = tiling.build_tile_tree(inst, Bounds(*DOCS_BBOX), opts, deep_level=6)
+        assigned = tiling.assign_to_content_tiles(inst, tree, opts)
+        plan = _plan(assigned)
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan
+
+    def test_rect_pip_is_broadcast_nested_loop_free_of_cartesian(self, spark):
+        from pyspark.sql import functions as F
+
+        from i3dm_export_spark.operators.pip import pip_join_rect_sql
+        from i3dm_export_spark.sources.pages import INSTANCE_COLS
+        from i3dm_export_spark.sources.tables import load_table
+
+        load_table(spark, SF_DIR, "documents").createOrReplaceTempView("documents")
+        inst = spark.sql(f"SELECT {INSTANCE_COLS} FROM documents")
+        rects = spark.range(4).select(
+            F.col("id").alias("boundary_id"),
+            (34.0 + F.col("id") * 0.025).alias("min_lon"),
+            (34.0 + (F.col("id") + 1) * 0.025).alias("max_lon"),
+            F.lit(44.0).alias("min_lat"),
+            F.lit(44.1).alias("max_lat"),
+        )
+        plan = _plan(pip_join_rect_sql(inst, rects))
+        # small side broadcast; a plain CartesianProduct would be the fail
+        assert "BroadcastNestedLoopJoin" in plan
+        assert "CartesianProduct" not in plan
+
+
+class TestCodegen:
+    def test_text_quality_stays_in_wholestage_codegen(self, spark):
+        from i3dm_export_spark.functions import text as tx
+
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        feats = tx.quality_features()
+        df = docs.select("doc_id", feats["alpha_ratio"].alias("alpha_ratio"))
+        plan = _plan(df)
+        # formatted mode marks whole-stage-codegen operators with '* '
+        assert "* Project" in plan
+        # no python UDF in the plan
+        assert "BatchEvalPython" not in plan
+        assert "ArrowEvalPython" not in plan
+
+    def test_dedup_exact_single_shuffle(self, spark):
+        from i3dm_export_spark.operators.dedup import exact_dedup
+
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        plan = _plan(exact_dedup(docs))
+        # exactly one Exchange (the hash aggregation shuffle)
+        assert plan.count("Exchange") - plan.count("AQEShuffleRead") <= 2
+        assert "HashAggregate" in plan
