@@ -313,7 +313,6 @@ def q_cluster_kmeans(spark, sf_dir):
     from i3dm_export_spark.operators.clustering import cluster_tiles
 
     inst = _instances(spark, sf_dir)
-    tree = tiling.build_tile_tree(inst, _BOUNDS, _TREE_OPTS, deep_level=6)
     opts = ExportOptions(max_features_per_tile=50, max_level=6, use_clustering=True)
     tree_c = tiling.build_tile_tree(inst, _BOUNDS, opts, deep_level=6)
     assigned = tiling.assign_to_content_tiles(inst, tree_c, opts)
@@ -370,6 +369,23 @@ def q_knn_per_tile(spark, sf_dir):
     return knn.knn_per_tile(assigned, k=3, id_col="doc_id")
 
 
+def q_subtree_bits(spark, sf_dir):
+    """T4: root-subtree availability bitstreams as rows — computed by the
+    engine's bit assembler (operators/subtree.subtree_bitstrings) from the
+    stage-2 tree."""
+    from i3dm_export_spark.operators import subtree as st
+
+    tree = _tree(spark, sf_dir)
+    tiles_pdf = tiling.collect_tiles(tree)
+    tb, cb, chb = st.subtree_bitstrings(tiles_pdf, 0, 0, 0, 2)
+    rows = (
+        [("tile", i, int(c)) for i, c in enumerate(tb)]
+        + [("content", i, int(c)) for i, c in enumerate(cb)]
+        + [("child", i, int(c)) for i, c in enumerate(chb)]
+    )
+    return spark.createDataFrame(rows, "stream string, bit_index int, bit int")
+
+
 # ---------------------------------------------------------------------------
 # driver surface
 # ---------------------------------------------------------------------------
@@ -410,6 +426,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": q_text_fingerprint,
         # generic agg / events
         "events_hourly": q_events_hourly,
+        "subtree_bits": q_subtree_bits,
         # non-SQL-expressible (rows-only)
         "cluster_kmeans": q_cluster_kmeans,
         "pip_polygon": q_pip_polygon,
@@ -444,4 +461,5 @@ def oracle_sql() -> dict[str, str]:
         "text_langid": oracles.q_text_langid(),
         "text_fingerprint": oracles.q_text_fingerprint(),
         "events_hourly": oracles.q_events_hourly(),
+        "subtree_bits": oracles.q_subtree_bits(50, 6),
     }

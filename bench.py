@@ -46,9 +46,13 @@ def main() -> None:
     from i3dm_export_spark.plans.pipeline import stage0_instances
     from i3dm_export_spark.sources.pages import pages_df_distributed
 
-    pages = stage0_instances(
+    import tempfile
+
+    stage_dir = tempfile.mkdtemp(prefix="bench_pages_")
+    stage0_instances(
         pages_df_distributed(spark, N_EXPORT, scenario="A", partitions=CPUS * 4)
-    ).localCheckpoint()
+    ).write.mode("overwrite").parquet(stage_dir)
+    pages = spark.read.parquet(stage_dir)
     n_instances = pages.count()
 
     t0 = time.perf_counter()

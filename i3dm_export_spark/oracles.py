@@ -394,3 +394,32 @@ def q_events_hourly() -> str:
         "COUNT(*) AS n, ROUND(SUM(value), 4) AS sum_value "
         "FROM events GROUP BY 1, 2"
     )
+
+
+def q_subtree_bits(max_features: int = 50, max_level: int = 6) -> str:
+    """Root-subtree availability bitstreams (subtree_levels=2) as rows
+    (stream, bit_index, bit). Morton for 1-2 bit coords is pure arithmetic:
+    level-1 index = x + 2y; level-2 child index = (x&1) + 2(y&1) + 4(x>>1)
+    + 8(y>>1)."""
+    return (
+        f"{tree_ctes(max_features, max_level)},\n"
+        f"t AS ({tree_select(max_features, max_level)}),\n"
+        "interior AS (SELECT CASE WHEN level = 0 THEN 0 ELSE 1 + CAST(x + 2*y AS INT) END AS bit_index, "
+        "(n_instances > 0) AS tile_bit, content_available AS content_bit "
+        "FROM t WHERE level <= 1),\n"
+        "boundary AS (SELECT CAST((x % 2) + 2*(y % 2) + 4*(x // 2) + 8*(y // 2) AS INT) AS bit_index, "
+        "(n_instances > 0) AS child_bit FROM t WHERE level = 2),\n"
+        "pos5 AS (SELECT CAST(p AS INT) AS bit_index FROM range(5) r(p)),\n"
+        "pos16 AS (SELECT CAST(p AS INT) AS bit_index FROM range(16) r(p))\n"
+        "SELECT 'tile' AS stream, p.bit_index, "
+        "CAST(COALESCE(MAX(CASE WHEN i.tile_bit THEN 1 ELSE 0 END), 0) AS INT) AS bit "
+        "FROM pos5 p LEFT JOIN interior i ON i.bit_index = p.bit_index GROUP BY p.bit_index\n"
+        "UNION ALL\n"
+        "SELECT 'content' AS stream, p.bit_index, "
+        "CAST(COALESCE(MAX(CASE WHEN i.content_bit THEN 1 ELSE 0 END), 0) AS INT) AS bit "
+        "FROM pos5 p LEFT JOIN interior i ON i.bit_index = p.bit_index GROUP BY p.bit_index\n"
+        "UNION ALL\n"
+        "SELECT 'child' AS stream, p.bit_index, "
+        "CAST(COALESCE(MAX(CASE WHEN b.child_bit THEN 1 ELSE 0 END), 0) AS INT) AS bit "
+        "FROM pos16 p LEFT JOIN boundary b ON b.bit_index = p.bit_index GROUP BY p.bit_index"
+    )

@@ -1,0 +1,121 @@
+"""Operator-level tests for PIP, kNN, and extent range join."""
+
+import numpy as np
+import pytest
+
+from i3dm_export_spark.config import Bounds
+from i3dm_export_spark.operators import knn, pip, range_join
+
+
+class TestRayCastingPip:
+    def test_concave_l_shape(self):
+        # L-shape: [0,6]x[0,3] plus [0,3]x[3,8]
+        ring = np.array(
+            [(0, 0), (6, 0), (6, 3), (3, 3), (3, 8), (0, 8)], dtype=np.float64
+        )
+        lon = np.array([1.0, 5.0, 5.0, 1.0, 4.0, 7.0])
+        lat = np.array([1.0, 1.0, 5.0, 5.0, 4.0, 1.0])
+        got = pip.point_in_polygon_batch(lon, lat, ring)
+        assert list(got) == [True, True, False, True, False, False]
+
+    def test_triangle(self):
+        ring = np.array([(0, 0), (4, 0), (0, 4)], dtype=np.float64)
+        lon = np.array([1.0, 3.0, 3.5])
+        lat = np.array([1.0, 3.0, 0.25])
+        got = pip.point_in_polygon_batch(lon, lat, ring)
+        assert list(got) == [True, False, True]
+
+    def test_matches_bruteforce_oracle(self):
+        """Random points vs an independent even-odd implementation."""
+        rng = np.random.default_rng(11)
+        ring = np.array(
+            [(0, 0), (10, 0), (10, 4), (6, 4), (6, 7), (10, 7), (10, 10), (0, 10)],
+            dtype=np.float64,
+        )
+        pts = rng.uniform(-1, 11, size=(500, 2))
+
+        def oracle(px, py):
+            inside = False
+            m = len(ring)
+            for i in range(m):
+                x1, y1 = ring[i]
+                x2, y2 = ring[(i + 1) % m]
+                if (y1 > py) != (y2 > py):
+                    xint = x1 + (py - y1) / (y2 - y1) * (x2 - x1)
+                    if px < xint:
+                        inside = not inside
+            return inside
+
+        got = pip.point_in_polygon_batch(pts[:, 0], pts[:, 1], ring)
+        want = [oracle(px, py) for px, py in pts]
+        assert list(got) == want
+
+    def test_spark_pip_join(self, spark):
+        from i3dm_export_spark.sources.pages import pages_df
+
+        pts = pages_df(spark, 500, "A")
+        polys = [
+            {"boundary_id": 7, "ring": [(34.0, 44.0), (34.05, 44.0), (34.05, 44.1), (34.0, 44.1)]}
+        ]
+        out = pip.pip_join(pts, polys).toPandas()
+        assert (out["boundary_id"] == 7).all()
+        # rectangle => same result as plain predicates
+        want = pts.filter("lon >= 34.0 and lon < 34.05").count()
+        assert len(out) == want
+
+
+class TestKnnBatch:
+    def test_small_exact(self):
+        pts = np.array([[0.0, 0], [1, 0], [5, 0], [6, 0]])
+        r, c, d = knn.knn_pairs_batch(pts, 1)
+        # nearest of each: 0<->1, 2<->3
+        assert list(c) == [1, 0, 3, 2]
+        np.testing.assert_allclose(d, [1, 1, 1, 1])
+
+    def test_matches_full_sort(self):
+        rng = np.random.default_rng(5)
+        pts = rng.normal(size=(200, 2))
+        r, c, d = knn.knn_pairs_batch(pts, 3)
+        full = ((pts[:, None, :] - pts[None, :, :]) ** 2).sum(axis=2)
+        np.fill_diagonal(full, np.inf)
+        want = np.sort(full, axis=1)[:, :3].ravel()
+        # knn_pairs_batch uses the expanded form (|a|^2 - 2ab + |b|^2) which
+        # differs from (a-b)^2 by FP rounding only
+        np.testing.assert_allclose(np.asarray(d), want, rtol=1e-9, atol=1e-12)
+
+    def test_k_larger_than_group(self):
+        pts = np.array([[0.0, 0], [1, 0]])
+        r, c, d = knn.knn_pairs_batch(pts, 5)
+        assert len(r) == 2  # k clamps to n-1
+
+
+class TestRangeJoin:
+    def test_cellkey_equals_broadcast(self, spark):
+        from pyspark.sql import functions as F
+
+        b = Bounds(0.0, 0.0, 100.0, 100.0)
+        rng_seed = 13
+        left = spark.range(40).select(
+            F.col("id").alias("raster_id"),
+            (F.col("id") % 10 * 9.7).alias("min_lon"),
+            (F.col("id") % 10 * 9.7 + 12.0).alias("max_lon"),
+            (F.floor(F.col("id") / 10) * 22.0).alias("min_lat"),
+            (F.floor(F.col("id") / 10) * 22.0 + 25.0).alias("max_lat"),
+        )
+        right = spark.range(25).select(
+            F.col("id").alias("tile_id"),
+            (F.col("id") % 5 * 20.0).alias("min_lon"),
+            (F.col("id") % 5 * 20.0 + 20.0).alias("max_lon"),
+            (F.floor(F.col("id") / 5) * 20.0).alias("min_lat"),
+            (F.floor(F.col("id") / 5) * 20.0 + 20.0).alias("max_lat"),
+        )
+        bc = range_join.extent_overlap_join_broadcast(left, right).select(
+            "a.raster_id", "b.tile_id"
+        )
+        ck = range_join.extent_overlap_join_cellkey(
+            left, right, b, level=3, left_id="raster_id", right_id="tile_id"
+        )
+        got_b = {tuple(r) for r in bc.collect()}
+        got_c = {tuple(r) for r in ck.collect()}
+        assert got_b == got_c
+        assert len(got_b) > 40  # real overlaps exist
