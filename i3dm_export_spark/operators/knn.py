@@ -55,6 +55,9 @@ def knn_per_tile(
 ) -> DataFrame:
     """(tile, id, neighbor_id, rank, d2) for every instance, neighbors drawn
     from the same tile."""
+    from ..packaging import ensure_shipped
+
+    ensure_shipped(assigned.sparkSession)
     schema = T.StructType(
         [T.StructField(c, assigned.schema[c].dataType) for c in tile_cols]
         + [

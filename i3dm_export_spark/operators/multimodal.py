@@ -112,6 +112,9 @@ def decode_image_features(
     """binary -> fixed-dim float feature vector; output schema
     (id, features array<float>). One Arrow batch in, one out; blobs never
     leave the executor."""
+    from ..packaging import ensure_shipped
+
+    ensure_shipped(df.sparkSession)
     strict_val = STRICT_STUBS if strict is None else strict
     id_type = df.schema[id_col].dataType
     schema = T.StructType(
@@ -141,6 +144,9 @@ def resize_images(
     strict: bool | None = None,
 ) -> DataFrame:
     """binary -> binary resize; preserves partitioning, no shuffle."""
+    from ..packaging import ensure_shipped
+
+    ensure_shipped(df.sparkSession)
     strict_val = STRICT_STUBS if strict is None else strict
     id_type = df.schema[id_col].dataType
     schema = T.StructType(
@@ -170,6 +176,9 @@ def sample_video_frames(
     """1 video -> N frame rows (id, frame_index, frame). The explosion
     happens inside the Arrow batch — row blowup never inflates the shuffle
     of the original blobs."""
+    from ..packaging import ensure_shipped
+
+    ensure_shipped(df.sparkSession)
     strict_val = STRICT_STUBS if strict is None else strict
     id_type = df.schema[id_col].dataType
     schema = T.StructType(

@@ -59,7 +59,10 @@ def pip_join(
     per polygon is tiny) + one mapInPandas exact pass with the rings
     broadcast by closure. Output: points columns + boundary_id.
     """
+    from ..packaging import ensure_shipped
+
     spark = points.sparkSession
+    ensure_shipped(spark)
     polys = []
     for p in polygons:
         ring = np.asarray(p["ring"], np.float64)
