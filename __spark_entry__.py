@@ -43,7 +43,12 @@ def _instances(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _docs(spark, sf_dir):
-    return load_table(spark, sf_dir, "documents")
+    # min_splits: the local single-row-group parquet otherwise pins every
+    # pre-shuffle hash/text stage to one core (see sources/tables.py)
+    return load_table(
+        spark, sf_dir, "documents",
+        min_splits=spark.sparkContext.defaultParallelism,
+    )
 
 
 def _tree(spark, sf_dir):
@@ -226,11 +231,20 @@ def q_dedup_exact(spark, sf_dir):
 
 
 def q_minhash_sigs(spark, sf_dir):
-    return dedup.minhash_signatures(_docs(spark, sf_dir), n_bands=4)
+    # (b=4, r=4, shingle=9): LSH threshold ~(1/b)^(1/r) ~= 0.71 over
+    # 9-char shingles.  At r=2/shingle=5 the threshold (0.5) sits below the
+    # typical pairwise Jaccard of templated web text, making the candidate
+    # set O(n^2) — degenerate at scale.  These parameters keep candidates
+    # near-linear (297 pairs for 5k docs at sf0.1 vs 1.58M before).
+    return dedup.minhash_signatures(
+        _docs(spark, sf_dir), n_bands=4, rows_per_band=4, shingle_n=9
+    )
 
 
 def q_lsh_pairs(spark, sf_dir):
-    sigs = dedup.minhash_signatures(_docs(spark, sf_dir), n_bands=4)
+    sigs = dedup.minhash_signatures(
+        _docs(spark, sf_dir), n_bands=4, rows_per_band=4, shingle_n=9
+    )
     return dedup.lsh_candidate_pairs(sigs)
 
 
@@ -240,13 +254,14 @@ def q_simhash(spark, sf_dir):
 
 def q_ngram_jaccard(spark, sf_dir):
     docs = _docs(spark, sf_dir)
-    sigs = dedup.minhash_signatures(docs, n_bands=4)
+    sigs = dedup.minhash_signatures(docs, n_bands=4, rows_per_band=4, shingle_n=9)
     cand = dedup.lsh_candidate_pairs(sigs)
     return dedup.ngram_jaccard_pairs(docs, cand, n=3)
 
 
 def q_cosine_topk(spark, sf_dir):
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table(spark, sf_dir, "embeddings",
+                     min_splits=spark.sparkContext.defaultParallelism)
     return similarity.cosine_topk_bruteforce(
         emb, emb.filter("vec_id < 10"), 5
     )
@@ -325,29 +340,14 @@ def q_cluster_kmeans(spark, sf_dir):
 def q_pip_polygon(spark, sf_dir):
     """Concave (L-shaped) polygon PIP via vectorized ray casting."""
     inst = _instances(spark, sf_dir)
-    x0, y0, x1, y1 = DOCS_BBOX
-    w, h = x1 - x0, y1 - y0
-    polys = [
-        {  # L-shape covering west strip + south strip
-            "boundary_id": 0,
-            "ring": [
-                (x0, y0), (x0 + 0.6 * w, y0), (x0 + 0.6 * w, y0 + 0.3 * h),
-                (x0 + 0.3 * w, y0 + 0.3 * h), (x0 + 0.3 * w, y0 + 0.8 * h),
-                (x0, y0 + 0.8 * h),
-            ],
-        },
-        {  # triangle in the northeast
-            "boundary_id": 1,
-            "ring": [
-                (x0 + 0.5 * w, y0 + 0.5 * h), (x1, y0 + 0.5 * h), (x1, y1),
-            ],
-        },
-    ]
-    return pip.pip_join(inst, polys).select("doc_id", "boundary_id")
+    return pip.pip_join(inst, oracles.pip_polygons()).select(
+        "doc_id", "boundary_id"
+    )
 
 
 def q_ann_lsh(spark, sf_dir):
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table(spark, sf_dir, "embeddings",
+                     min_splits=spark.sparkContext.defaultParallelism)
     dim = len(emb.select("embedding").first()[0])
     return similarity.lsh_bucketed_ann(
         emb, emb.filter("vec_id < 10"), 5, dim=dim, n_planes=8
@@ -355,7 +355,8 @@ def q_ann_lsh(spark, sf_dir):
 
 
 def q_embedding_near_dup(spark, sf_dir):
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table(spark, sf_dir, "embeddings",
+                     min_splits=spark.sparkContext.defaultParallelism)
     dim = len(emb.select("embedding").first()[0])
     # synthetic embeddings top out at ~0.51 pairwise cosine; 0.3 exercises
     # the operator with a non-empty result
@@ -448,13 +449,15 @@ def oracle_sql() -> dict[str, str]:
         "distinct_models": oracles.q_distinct_models(3),
         "batch_table": oracles.q_batch_table(2),
         "knn": oracles.q_knn(3, 50, 200),
+        "knn_per_tile": oracles.q_knn_per_tile(3, 50, 6),
         "pip_rect": oracles.q_pip_rect(4),
+        "pip_polygon": oracles.q_pip_polygon(),
         "range_join": oracles.q_range_join(8, 3, 0.1),
         "dedup_exact": oracles.q_dedup_exact(),
-        "minhash_sigs": oracles.q_minhash_sigs(4, 5),
-        "lsh_pairs": oracles.q_lsh_pairs(4, 5),
+        "minhash_sigs": oracles.q_minhash_sigs(4, 9, 4),
+        "lsh_pairs": oracles.q_lsh_pairs(4, 9, 4),
         "simhash": oracles.q_simhash(16),
-        "ngram_jaccard": oracles.q_ngram_jaccard(3, 4, 5),
+        "ngram_jaccard": oracles.q_ngram_jaccard(3, 4, 9, 4),
         "cosine_topk": oracles.q_cosine_topk(5, 10),
         "text_tokens": oracles.q_text_tokens(),
         "text_quality": oracles.q_text_quality(),

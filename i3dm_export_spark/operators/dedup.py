@@ -41,66 +41,125 @@ def exact_dedup(docs: DataFrame, id_col="doc_id", text_col="text") -> DataFrame:
     )
 
 
-def shingles(docs: DataFrame, id_col="doc_id", text_col="text", n: int = 5) -> DataFrame:
-    """Distinct character n-gram shingles per doc (JVM-side explode of
-    substring positions — no UDF)."""
+def shingles(
+    docs: DataFrame, id_col="doc_id", text_col="text", n: int = 5,
+    distinct: bool = True,
+) -> DataFrame:
+    """Character n-gram shingles per doc (JVM-side explode of substring
+    positions — no UDF). ``distinct=True`` (needed for Jaccard set sizes)
+    costs a full shuffle; min-hashing passes ``distinct=False`` because
+    min() over duplicates is unchanged and the dedup shuffle is pure
+    waste there."""
     norm = normalize_text(text_col)
     d = docs.select(F.col(id_col), norm.alias("_t"))
     d = d.withColumn("_pos", F.explode(F.sequence(F.lit(1), F.greatest(F.length("_t") - (n - 1), F.lit(1)))))
-    return d.select(
+    out = d.select(
         id_col, F.substring(F.col("_t"), F.col("_pos"), n).alias("shingle")
-    ).distinct()
+    )
+    return out.distinct() if distinct else out
 
 
 def minhash_signatures(
     docs: DataFrame, n_bands: int = 8, rows_per_band: int = 2,
     id_col="doc_id", text_col="text", shingle_n: int = 5,
 ) -> DataFrame:
-    """(id, band, sig): banded MinHash. Each band's signature concatenates
-    ``rows_per_band`` independent minhashes (hash r of band b =
-    min over shingles of md5(b '.' r '#' shingle)); a bucket collision
-    requires ALL rows of a band to agree — the standard LSH S-curve.
-    Min over fixed-length hex strings == min over the 128-bit value, and
-    md5 is engine-portable (the DuckDB oracle computes the same bytes)."""
-    sh = shingles(docs, id_col, text_col, shingle_n)
-    spark = sh.sparkSession
-    hashes = spark.range(n_bands * rows_per_band).select(
-        (F.col("id") / rows_per_band).cast("bigint").alias("band"),
-        (F.col("id") % rows_per_band).alias("row"),
+    """(id, band, sig): banded MinHash. Hash i = b*rows_per_band + r of a
+    shingle is an 8-hex-char (32-bit) word of sha256(str(i // 8) + '#' +
+    shingle) — word index i % 8 — so ONE digest yields EIGHT independent
+    minhash functions; a bucket collision requires ALL rows of a band to
+    agree — the standard LSH S-curve. Min over fixed-length hex strings ==
+    min over the 32-bit word, and sha256 is engine-portable (the DuckDB
+    oracle computes the same bytes).
+
+    Physical shape: a PURE PER-DOC PROJECTION — the shingle array, its
+    ceil(b*r/8) digest arrays, and the per-hash array_min all happen
+    inside one whole-stage-codegen'd select via higher-order functions
+    (transform/array_min). NO explode, NO groupBy, ZERO shuffles: at
+    10^12 docs the op is embarrassingly parallel and shuffle-free, and
+    duplicate shingles cost nothing extra under min(). (The exploded
+    shingle-row + groupBy form shuffles |shingles| rows; computing b*r
+    separate digests instead of word-packing 8 per digest made
+    cryptographic hashing dominate 8:1 besides.)
+    """
+    n_hashes = n_bands * rows_per_band
+    n_digests = (n_hashes + 7) // 8
+    d = docs.select(F.col(id_col), normalize_text(text_col).alias("_t"))
+    d = d.withColumn(
+        "_sh",
+        F.expr(
+            f"transform(sequence(1, greatest(length(_t) - {shingle_n - 1}, 1)), "
+            f"p -> substring(_t, p, {shingle_n}))"
+        ),
     )
-    exploded = sh.crossJoin(F.broadcast(hashes))
-    per_hash = (
-        exploded.withColumn(
-            "h",
-            F.md5(
-                F.concat_ws(
-                    "#",
-                    F.concat_ws(".", F.col("band").cast("string"), F.col("row").cast("string")),
-                    F.col("shingle"),
-                )
-            ),
+    for dg in range(n_digests):
+        d = d.withColumn(
+            f"_dg{dg}",
+            F.expr(f"transform(_sh, s -> sha2(concat('{dg}#', s), 256))"),
         )
-        .groupBy(id_col, "band", "row")
-        .agg(F.min("h").alias("mh"))
+    mins = [
+        F.expr(
+            f"array_min(transform(_dg{i // 8}, "
+            f"x -> substring(x, {(i % 8) * 8 + 1}, 8)))"
+        ).alias(f"_mh_{i // rows_per_band}_{i % rows_per_band}")
+        for i in range(n_hashes)
+    ]
+    wide = d.select(F.col(id_col), *mins)
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).cast("bigint").alias("band"),
+                F.concat_ws(
+                    "|",
+                    *[
+                        F.concat_ws(":", F.lit(str(r)), F.col(f"_mh_{b}_{r}"))
+                        for r in range(rows_per_band)
+                    ],
+                ).alias("sig"),
+            )
+            for b in range(n_bands)
+        ]
     )
-    return (
-        per_hash.groupBy(id_col, "band")
-        .agg(F.array_join(F.array_sort(F.collect_list(
-            F.concat_ws(":", F.col("row").cast("string"), F.col("mh"))
-        )), "|").alias("sig"))
+    return wide.select(id_col, F.explode(band_structs).alias("_bs")).select(
+        id_col, "_bs.band", "_bs.sig"
     )
 
 
-def lsh_candidate_pairs(signatures: DataFrame, id_col="doc_id") -> DataFrame:
+def lsh_candidate_pairs(
+    signatures: DataFrame, id_col="doc_id", max_bucket_size: int | None = None
+) -> DataFrame:
     """Distinct (a, b) with a < b sharing >= 1 band signature — the LSH
     bucket self-join. Buckets are (band, sig) keys; the join shuffles
-    signature rows, never documents."""
-    left = signatures.select(F.col(id_col).alias("a"), "band", "sig")
-    right = signatures.select(F.col(id_col).alias("b"), "band", "sig")
+    signature rows, never documents.
+
+    Physical shape: ONE aggregation over the signature rows (sorted id
+    list per bucket) + a JVM-side higher-order-function pair explode —
+    not a self-join, which would evaluate the whole upstream minhash
+    pipeline twice (Spark does not dedupe common subtrees across join
+    sides). Per-bucket pair generation is local to the aggregated row, so
+    cost and memory are bounded by the bucket cap.
+
+    ``max_bucket_size`` is the scale-safety valve: a bucket of size m emits
+    m*(m-1)/2 pairs, so one degenerate bucket (boilerplate text, an
+    uninformative band) turns the output quadratic. When set, buckets
+    larger than the cap are dropped entirely — the standard treatment
+    (a signature shared by that many documents carries no discriminative
+    information; exact-dedup upstream catches the identical-text case).
+    At 10^12-doc scale ALWAYS set it: it bounds both the output and the
+    per-bucket explode."""
+    buckets = (
+        signatures.groupBy("band", "sig")
+        .agg(F.sort_array(F.collect_list(F.col(id_col))).alias("_ids"))
+        .filter(F.size("_ids") > 1)
+    )
+    if max_bucket_size is not None:
+        buckets = buckets.filter(F.size("_ids") <= max_bucket_size)
+    pairs = F.expr(
+        "flatten(transform(_ids, (a, i) -> "
+        "transform(slice(_ids, i + 2, size(_ids)), b -> named_struct('a', a, 'b', b))))"
+    )
     return (
-        left.join(right, ["band", "sig"])
-        .filter(F.col("a") < F.col("b"))
-        .select("a", "b")
+        buckets.select(F.explode(pairs).alias("_p"))
+        .select("_p.a", "_p.b")
         .distinct()
     )
 

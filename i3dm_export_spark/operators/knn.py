@@ -21,29 +21,48 @@ from pyspark.sql import DataFrame, Window, functions as F, types as T
 
 
 def knn_pairs_batch(pts: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """Exact kNN inside one batch: returns (row_idx, neighbor_idx, d2).
+    """Exact kNN inside one batch: returns (row_idx, neighbor_idx, d2),
+    ordered by (row_idx asc, d2 asc, neighbor_idx asc).
 
-    Chunked distance matrix keeps memory at O(chunk * n)."""
+    Chunked distance matrix (|x|^2 - 2x.y + |y|^2 via matmul) does the
+    SELECTION; the RETURNED d2 is recomputed with the direct
+    ``sum((a-b)^2)`` formula — bit-identical to the ANSI-SQL expression
+    ``(ax-bx)*(ax-bx)+(ay-by)*(ay-by)`` an oracle engine evaluates, which
+    the matmul expansion is not (different FP op order)."""
     n = len(pts)
     k = min(k, n - 1)
     if k <= 0:
         return (np.empty(0, np.int64), np.empty(0, np.int64), np.empty(0))
-    rows, cols, dists = [], [], []
+    # over-select with the fast matmul metric (its low-bit error can
+    # misrank the k-th vs (k+1)-th candidate), then settle the final k by
+    # exact d2 + neighbor-id tie-break — deterministic and oracle-exact.
+    ksel = min(k + 8, n - 1)
+    rows, cols = [], []
     chunk = max(1, 4_000_000 // max(n, 1))
     sq = np.sum(pts * pts, axis=1)
     for s in range(0, n, chunk):
         block = pts[s : s + chunk]
         d2 = sq[s : s + chunk, None] - 2.0 * block @ pts.T + sq[None, :]
         np.fill_diagonal(d2[:, s : s + len(block)], np.inf)
-        idx = np.argpartition(d2, k, axis=1)[:, :k]
-        bd = np.take_along_axis(d2, idx, axis=1)
-        order = np.argsort(bd, axis=1, kind="stable")
-        idx = np.take_along_axis(idx, order, axis=1)
-        bd = np.take_along_axis(bd, order, axis=1)
-        rows.append(np.repeat(np.arange(s, s + len(block)), k))
+        idx = (
+            np.argpartition(d2, ksel, axis=1)[:, :ksel]
+            if ksel < n - 1
+            else np.argsort(d2, axis=1)[:, : n - 1]
+        )
+        rows.append(np.repeat(np.arange(s, s + len(block)), idx.shape[1]))
         cols.append(idx.ravel())
-        dists.append(bd.ravel())
-    return np.concatenate(rows), np.concatenate(cols), np.concatenate(dists)
+    r = np.concatenate(rows)
+    c = np.concatenate(cols)
+    diff = pts[r] - pts[c]
+    sq_terms = diff * diff
+    d = sq_terms[:, 0].copy()
+    for j in range(1, pts.shape[1]):
+        d = d + sq_terms[:, j]
+    order = np.lexsort((c, d, r))
+    r, c, d = r[order], c[order], d[order]
+    ncand = len(r) // n  # same candidate count per row after row-major sort
+    keep = (np.arange(len(r)) % ncand) < k
+    return r[keep], c[keep], d[keep]
 
 
 def knn_per_tile(

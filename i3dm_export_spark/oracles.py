@@ -205,6 +205,102 @@ def q_pip_rect(grid: int = 4) -> str:
     )
 
 
+def pip_polygons() -> list[dict]:
+    """Shared concave-polygon fixture for the pip_polygon query + oracle.
+
+    Built from DOCS_BBOX in Python floats so the Spark side (numpy ray
+    casting over these exact doubles) and the SQL side (literal reprs of
+    the same doubles) evaluate identical IEEE754 arithmetic."""
+    x0, y0, x1, y1 = BBOX
+    w, h = x1 - x0, y1 - y0
+    return [
+        {  # L-shape covering west strip + south strip
+            "boundary_id": 0,
+            "ring": [
+                (x0, y0), (x0 + 0.6 * w, y0), (x0 + 0.6 * w, y0 + 0.3 * h),
+                (x0 + 0.3 * w, y0 + 0.3 * h), (x0 + 0.3 * w, y0 + 0.8 * h),
+                (x0, y0 + 0.8 * h),
+            ],
+        },
+        {  # triangle in the northeast
+            "boundary_id": 1,
+            "ring": [
+                (x0 + 0.5 * w, y0 + 0.5 * h), (x1, y0 + 0.5 * h), (x1, y1),
+            ],
+        },
+    ]
+
+
+def q_pip_polygon() -> str:
+    """Ray-casting PIP in ANSI SQL, bit-matching operators/pip.pip_join:
+    per-polygon half-open envelope prefilter, then odd crossing count over
+    non-horizontal edges with the crossing abscissa computed in the same
+    FP op order as the numpy kernel (``ex + (lat-ey)/(ey2-ey)*(ex2-ex)``).
+    Horizontal edges never straddle and are dropped up front (also keeps
+    the SQL free of divide-by-zero)."""
+    env_rows, edge_rows = [], []
+    for p in pip_polygons():
+        pid = p["boundary_id"]
+        ring = p["ring"]
+        xs = [v[0] for v in ring]
+        ys = [v[1] for v in ring]
+        env_rows.append(
+            f"({pid}, {min(xs)!r}, {min(ys)!r}, {max(xs)!r}, {max(ys)!r})"
+        )
+        m = len(ring)
+        for i in range(m):
+            ex, ey = ring[i]
+            ex2, ey2 = ring[(i + 1) % m]
+            if ey == ey2:
+                continue
+            edge_rows.append(f"({pid}, {ex!r}, {ey!r}, {ex2!r}, {ey2!r})")
+    return (
+        f"{INSTANCE_CTE},\n"
+        "envs(boundary_id, ex0, ey0, ex1, ey1) AS (VALUES "
+        + ", ".join(env_rows)
+        + "),\nedges(boundary_id, vx, vy, vx2, vy2) AS (VALUES "
+        + ", ".join(edge_rows)
+        + "),\n"
+        "cand AS (SELECT i.doc_id, i.lon, i.lat, v.boundary_id FROM instances i "
+        "JOIN envs v ON i.lon >= v.ex0 AND i.lon < v.ex1 "
+        "AND i.lat >= v.ey0 AND i.lat < v.ey1)\n"
+        "SELECT c.doc_id, CAST(c.boundary_id AS BIGINT) AS boundary_id "
+        "FROM cand c JOIN edges e ON e.boundary_id = c.boundary_id "
+        "AND ((e.vy > c.lat) <> (e.vy2 > c.lat)) "
+        "AND c.lon < e.vx + (c.lat - e.vy) / (e.vy2 - e.vy) * (e.vx2 - e.vx) "
+        "GROUP BY c.doc_id, c.boundary_id HAVING COUNT(*) % 2 = 1"
+    )
+
+
+def q_knn_per_tile(k: int = 3, max_features: int = 50, max_level: int = 6) -> str:
+    """Per-tile exact kNN over the leaf assignment: self-join within
+    (level, x, y) + window rank. d2 uses the same FP op order as the
+    recomputed distance in operators/knn.knn_pairs_batch; ties break on
+    (d2, neighbor_id) in both engines."""
+    lvl_cases_x = " ".join(
+        f"WHEN t.level = {lvl} THEN {cell_expr('x', lvl)}" for lvl in range(max_level + 1)
+    )
+    lvl_cases_y = " ".join(
+        f"WHEN t.level = {lvl} THEN {cell_expr('y', lvl)}" for lvl in range(max_level + 1)
+    )
+    return (
+        f"{tree_ctes(max_features, max_level)},\n"
+        f"content AS ({tree_select(max_features, max_level)}"
+        f"), leaves AS (SELECT level, x, y FROM content WHERE content_available),\n"
+        f"assigned AS (SELECT i.doc_id, i.lon, i.lat, t.level, t.x, t.y "
+        f"FROM instances i JOIN leaves t "
+        f"ON (CASE {lvl_cases_x} END) = t.x AND (CASE {lvl_cases_y} END) = t.y),\n"
+        "d AS (SELECT a.level, a.x, a.y, a.doc_id AS id, b.doc_id AS neighbor_id, "
+        "(a.lon - b.lon) * (a.lon - b.lon) + (a.lat - b.lat) * (a.lat - b.lat) AS d2 "
+        "FROM assigned a JOIN assigned b ON a.level = b.level AND a.x = b.x "
+        "AND a.y = b.y AND a.doc_id <> b.doc_id),\n"
+        "r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY level, x, y, id "
+        "ORDER BY d2 ASC, neighbor_id ASC) AS rank FROM d)\n"
+        f"SELECT CAST(level AS INT) AS level, x, y, id, neighbor_id, "
+        f"CAST(rank AS INT) AS rank, d2 FROM r WHERE rank <= {k}"
+    )
+
+
 def q_range_join(grid: int = 8, level: int = 3, margin: float = 0.1) -> str:
     cw = _W / grid
     ch = _H / grid
@@ -252,12 +348,16 @@ def _shingle_cte(n: int) -> str:
 
 
 def _sigs_cte(n_bands: int, rows_per_band: int) -> str:
-    """Banded-minhash signature CTEs (matches operators/dedup.minhash_signatures)."""
+    """Banded-minhash signature CTEs (matches operators/dedup.
+    minhash_signatures): hash i = band*rows_per_band + row is the 8-hex
+    word i % 8 of sha256((i // 8) || '#' || shingle)."""
     return (
         f"hashes AS (SELECT CAST(hid // {rows_per_band} AS BIGINT) AS band, "
-        f"hid % {rows_per_band} AS row FROM range({n_bands * rows_per_band}) t(hid)),\n"
+        f"hid % {rows_per_band} AS row, "
+        f"CAST(hid // 8 AS VARCHAR) AS dgst, (hid % 8) * 8 + 1 AS wpos "
+        f"FROM range({n_bands * rows_per_band}) t(hid)),\n"
         "mh AS (SELECT doc_id, band, row, "
-        "MIN(md5(CAST(band AS VARCHAR) || '.' || CAST(row AS VARCHAR) || '#' || shingle)) AS mh "
+        "MIN(substring(sha256(dgst || '#' || shingle), wpos, 8)) AS mh "
         "FROM sh, hashes GROUP BY doc_id, band, row),\n"
         "sigs AS (SELECT doc_id, band, "
         "STRING_AGG(CAST(row AS VARCHAR) || ':' || mh, '|' "

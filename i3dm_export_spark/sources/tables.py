@@ -17,8 +17,21 @@ TABLE_NAMES = (
 )
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+def load_table(
+    spark: SparkSession, sf_dir: str, name: str, min_splits: int | None = None
+) -> DataFrame:
+    """Parquet scan. ``min_splits`` widens a scan whose file count /
+    row-group layout yields fewer input splits than cores — the local
+    testdata is one row group, so without it every pre-shuffle stage
+    (hashing, UDF encode) runs on ONE core. A production 100 TB Iceberg
+    table has orders of magnitude more splits than executors, so callers
+    pass it only for compute-heavy per-row ops where split starvation is
+    possible; the repartition round-robins raw rows once and is a no-op
+    cost relative to the compute it parallelizes."""
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if min_splits and df.rdd.getNumPartitions() < min_splits:
+        df = df.repartition(min_splits)
+    return df
 
 
 def register_views(spark: SparkSession, sf_dir: str, names=TABLE_NAMES) -> None:

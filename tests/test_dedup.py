@@ -1,0 +1,54 @@
+"""Dedup operator unit tests (beyond the oracle-parity gate).
+
+Covers the LSH scale-safety valve: ``max_bucket_size`` must drop
+degenerate buckets (one uninformative band signature shared by m docs
+emits m*(m-1)/2 pairs — quadratic at scale) while leaving small buckets'
+pairs intact.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from i3dm_export_spark.operators import dedup
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    # 12 identical boilerplate docs (one giant bucket in every band) +
+    # 2 genuinely near-identical docs + unrelated docs.
+    boiler = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [(i, boiler) for i in range(12)]
+    rows += [
+        (100, "completely different text about spark shuffle partitions"),
+        (101, "completely different text about spark shuffle partition"),
+        (200, "unrelated corpus entry concerning quadtree tile subdivision"),
+    ]
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def _pairs(docs, max_bucket_size=None):
+    sigs = dedup.minhash_signatures(docs, n_bands=4, rows_per_band=2, shingle_n=5)
+    return {
+        (r.a, r.b)
+        for r in dedup.lsh_candidate_pairs(
+            sigs, max_bucket_size=max_bucket_size
+        ).collect()
+    }
+
+
+def test_uncapped_emits_quadratic_boiler_pairs(docs):
+    pairs = _pairs(docs)
+    boiler_pairs = {p for p in pairs if p[0] < 12 and p[1] < 12}
+    assert len(boiler_pairs) == 12 * 11 // 2
+    assert (100, 101) in pairs
+
+
+def test_bucket_cap_drops_degenerate_bucket_keeps_small(docs):
+    pairs = _pairs(docs, max_bucket_size=4)
+    assert not any(p[0] < 12 and p[1] < 12 for p in pairs)
+    # the small near-dup bucket (size 2 <= cap) survives
+    assert (100, 101) in pairs
+
+
+def test_bucket_cap_none_is_identity(docs):
+    assert _pairs(docs) == _pairs(docs, max_bucket_size=10**9)
