@@ -354,6 +354,14 @@ def q_ann_lsh(spark, sf_dir):
     )
 
 
+def q_ann_ivf(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings",
+                     min_splits=spark.sparkContext.defaultParallelism)
+    return similarity.ivf_ann(
+        emb, emb.filter("vec_id < 10"), 5, n_lists=16, n_probe=4
+    )
+
+
 def q_embedding_near_dup(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings",
                      min_splits=spark.sparkContext.defaultParallelism)
@@ -432,6 +440,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cluster_kmeans": q_cluster_kmeans,
         "pip_polygon": q_pip_polygon,
         "ann_lsh": q_ann_lsh,
+        "ann_ivf": q_ann_ivf,
         "embedding_near_dup": q_embedding_near_dup,
         "knn_per_tile": q_knn_per_tile,
     }

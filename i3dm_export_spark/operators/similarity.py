@@ -17,6 +17,7 @@
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window, functions as F
 
 
@@ -116,6 +117,130 @@ def lsh_bucketed_ann(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"), "lsh_sig"
     )
     joined = c.join(F.broadcast(q), "lsh_sig").filter(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    qa = F.transform(F.col("_qv"), lambda v: v.cast("double"))
+    ca = F.transform(F.col("_cv"), lambda v: v.cast("double"))
+    cos = _dot(qa, ca) / (_norm(qa) * _norm(ca))
+    joined = joined.withColumn("cosine", F.round(cos, 6))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        joined.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )
+
+
+def train_ivf_centroids(
+    corpus: DataFrame,
+    n_lists: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_rows: int | None = None,
+    iters: int = 10,
+    seed: int = 7,
+) -> np.ndarray:
+    """Spherical k-means codebook for IVF, trained driver-side on a
+    bounded deterministic sample (lowest ids) — the standard IVF recipe
+    (FAISS-style): the codebook is tiny (n_lists x dim) and training cost
+    must not scale with the corpus; only assignment does, and that is a
+    per-row projection. Fixed seed + fixed sample order => deterministic
+    codebook across runs."""
+    sample_rows = sample_rows or max(n_lists * 40, 2_000)
+    pdf = (
+        corpus.select(id_col, vec_col)
+        .orderBy(id_col)
+        .limit(sample_rows)
+        .toPandas()
+    )
+    X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+    X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    rng = np.random.default_rng(seed)
+    cents = X[rng.choice(len(X), size=min(n_lists, len(X)), replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(X @ cents.T, axis=1)
+        for j in range(len(cents)):
+            members = X[assign == j]
+            if len(members):
+                cents[j] = members.mean(axis=0)
+        cents /= np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-12)
+    return cents
+
+
+def assign_ivf_lists(
+    df: DataFrame,
+    centroids: np.ndarray,
+    vec_col: str = "embedding",
+    n_probe: int = 1,
+    out: str = "ivf_lists",
+) -> DataFrame:
+    """Adds ``out`` = array of the ``n_probe`` nearest centroid ids
+    (cosine / max dot over the broadcast codebook), computed as one
+    Arrow-batched matmul per batch — no per-row Python."""
+    from pyspark.sql import types as T
+
+    from ..packaging import ensure_shipped
+
+    spark = df.sparkSession
+    ensure_shipped(spark)
+    bc = spark.sparkContext.broadcast(centroids)
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def _assign(vecs: pd.Series) -> pd.Series:
+        C = bc.value
+        X = np.stack(vecs.to_numpy()).astype(np.float64)
+        X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+        scores = X @ C.T
+        p = min(n_probe, C.shape[0])
+        idx = np.argpartition(-scores, p - 1, axis=1)[:, :p]
+        row_scores = np.take_along_axis(scores, idx, axis=1)
+        order = np.argsort(-row_scores, axis=1, kind="stable")
+        idx = np.take_along_axis(idx, order, axis=1).astype(np.int32)
+        return pd.Series(list(idx))
+
+    return df.withColumn(out, _assign(F.col(vec_col)))
+
+
+def ivf_ann(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    n_lists: int = 32,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 7,
+) -> DataFrame:
+    """IVF approximate nearest neighbors — the second scale path beside
+    :func:`lsh_bucketed_ann`: corpus vectors are bucketed once by nearest
+    codebook centroid (inverted lists); each query probes its ``n_probe``
+    nearest lists and re-ranks exactly inside them. Per query the
+    candidate set is ~n_probe/n_lists of the corpus, and the join is a
+    plain equi-join on the list id — broadcastable on the (small) query
+    side, shuffle-free on the corpus side when the corpus is bucketed by
+    list id at checkpoint time."""
+    cents = train_ivf_centroids(
+        corpus, n_lists, id_col=id_col, vec_col=vec_col, seed=seed
+    )
+    c = (
+        assign_ivf_lists(corpus, cents, vec_col, n_probe=1, out="_cl")
+        .select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("_cv"),
+            F.col("_cl")[0].alias("ivf_list"),
+        )
+    )
+    q = (
+        assign_ivf_lists(queries, cents, vec_col, n_probe=n_probe, out="_ql")
+        .select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("_qv"),
+            F.explode("_ql").alias("ivf_list"),
+        )
+    )
+    joined = c.join(F.broadcast(q), "ivf_list").filter(
         F.col("query_id") != F.col("neighbor_id")
     )
     qa = F.transform(F.col("_qv"), lambda v: v.cast("double"))

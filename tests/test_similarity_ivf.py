@@ -1,0 +1,61 @@
+"""IVF ANN tests: recall against the exact brute-force ranking, plus
+determinism of the driver-trained codebook."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from i3dm_export_spark.operators import similarity
+from i3dm_export_spark.sources.tables import load_table
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return load_table(spark, SF_DIR, "embeddings", min_splits=8)
+
+
+def test_codebook_deterministic(emb):
+    c1 = similarity.train_ivf_centroids(emb, n_lists=8)
+    c2 = similarity.train_ivf_centroids(emb, n_lists=8)
+    assert np.array_equal(c1, c2)
+    assert c1.shape[0] == 8
+    # spherical: unit rows
+    assert np.allclose(np.linalg.norm(c1, axis=1), 1.0)
+
+
+def test_assignment_covers_all_rows(emb):
+    cents = similarity.train_ivf_centroids(emb, n_lists=8)
+    assigned = similarity.assign_ivf_lists(emb, cents, n_probe=2)
+    n = emb.count()
+    assert assigned.count() == n
+    assert assigned.filter(F.size("ivf_lists") == 2).count() == n
+    lists = assigned.select(F.explode("ivf_lists").alias("l"))
+    mn, mx = lists.agg(F.min("l"), F.max("l")).first()
+    assert mn >= 0 and mx < 8
+
+
+def test_ivf_recall_vs_bruteforce(emb):
+    k = 5
+    queries = emb.filter("vec_id < 20")
+    exact = similarity.cosine_topk_bruteforce(emb, queries, k)
+    approx = similarity.ivf_ann(emb, queries, k, n_lists=8, n_probe=4)
+    e = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    a = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+    assert len(a) == len(e)
+    recall = len(a & e) / len(e)
+    # probing half the lists of a well-separated synthetic corpus should
+    # retrieve most exact neighbors
+    assert recall >= 0.6, f"recall {recall}"
+
+
+def test_ivf_full_probe_equals_exact(emb):
+    """n_probe == n_lists probes everything -> identical to brute force."""
+    k = 3
+    queries = emb.filter("vec_id < 10")
+    exact = similarity.cosine_topk_bruteforce(emb, queries, k)
+    approx = similarity.ivf_ann(emb, queries, k, n_lists=4, n_probe=4)
+    e = sorted((r.query_id, r.neighbor_id, r.rank) for r in exact.collect())
+    a = sorted((r.query_id, r.neighbor_id, r.rank) for r in approx.collect())
+    assert a == e
