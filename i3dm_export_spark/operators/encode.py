@@ -396,11 +396,67 @@ def _encode_input_cols(opts, order_col: str, available: set[str]) -> list[str]:
     return [c for c in cols if c in available]
 
 
-def encode_tiles(assigned, opts, order_col: str = "url"):
+def prepare_models(
+    model_glbs: dict, opts, output_dir: str | None = None
+) -> tuple[dict, dict]:
+    """Driver-side model-side-input prep (S6/J2; models are few and shared
+    so this never touches the data plane):
+
+    * path-valued entries are loaded from disk; byte-valued pass through
+      (reference handles both at src/TileHandler.cs:122,161);
+    * keep_projection applies the F10 base rotation
+      (src/TileHandler.cs:16-38) to every glb;
+    * K5: external texture refs are collected across ALL models first
+      (so shared file names resolve to textures/_shared/), image URIs are
+      rewritten in each glb, and the texture files are copied once into
+      ``output_dir`` (src/ExternalTextureHelper.cs:11-126).
+
+    Returns (prepared {model: glb_bytes}, {source_path: relative_uri})."""
+    from ..functions import glbtools
+
+    loaded: dict[str, bytes] = {}
+    paths: dict[str, str] = {}
+    for name, value in model_glbs.items():
+        if isinstance(value, (bytes, bytearray)):
+            loaded[name] = bytes(value)
+            paths[name] = str(name)
+        else:
+            with open(value, "rb") as f:
+                loaded[name] = f.read()
+            paths[name] = str(value)
+
+    external: dict[str, str] = {}
+    parsed = {}
+    for name, data in loaded.items():
+        gltf, bin_chunk = glbtools.parse_glb(data)
+        parsed[name] = (gltf, bin_chunk)
+        glbtools.collect_external_textures(external, paths[name], gltf)
+
+    prepared: dict[str, bytes] = {}
+    for name, (gltf, bin_chunk) in parsed.items():
+        if external:
+            glbtools.configure_external_texture_uris(gltf, external, output_dir)
+        data = glbtools.write_glb(gltf, bin_chunk)
+        if opts.keep_projection:
+            data = glbtools.rotate_model_for_cartesian(data)
+        prepared[name] = data
+
+    if output_dir and external:
+        glbtools.copy_external_textures(output_dir, external, set())
+    return prepared, external
+
+
+def encode_tiles(assigned, opts, order_col: str = "url",
+                 model_glbs: dict | None = None):
     """Stage-4 encode over all content tiles: grouped applyInPandas -> one
     row per tile with the payload bytes column (K1 sink-ready). The default
     physical shape — column-pruned input, one hash shuffle on the tile key,
-    no sort (see encode_tiles_batched for the measured alternative)."""
+    no sort (see encode_tiles_batched for the measured alternative).
+
+    ``model_glbs`` ({model name: glb bytes}, e.g. from
+    :func:`prepare_models`) is captured by closure — it rides the
+    serialized UDF to every executor once, the broadcast-side-input shape
+    for a small shared dim (SURVEY.md J2)."""
     assigned = assigned.select(
         *_encode_input_cols(opts, order_col, set(assigned.columns))
     )
@@ -438,7 +494,7 @@ def encode_tiles(assigned, opts, order_col: str = "url"):
             data = encode_tile_pdf(
                 pdf, keep_projection=keep, use_i3dm=use_i3dm,
                 use_scale_non_uniform=snu, use_external_model=ext,
-                order_col=order_col,
+                order_col=order_col, model_glbs=model_glbs,
             )
         return pd.DataFrame(
             {

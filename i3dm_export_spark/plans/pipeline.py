@@ -98,8 +98,13 @@ def run_export(
     bounds: Bounds | None = None,
     subtree_levels: int = 2,
     write_content: bool = True,
+    model_glbs: dict | None = None,
 ) -> dict:
-    """Full export. Returns a summary dict (tiles/subtree counts, metrics)."""
+    """Full export. Returns a summary dict (tiles/subtree counts, metrics).
+
+    ``model_glbs`` ({model name: glb bytes or path}) is prepared driver-
+    side (F10 rotation under keep_projection, K5 external-texture copy
+    into content/) and shipped to the encode stage by closure."""
     spark = pages.sparkSession
     ckpt = CheckpointManager(spark, checkpoint_dir or os.path.join(output_dir, "_checkpoints"))
 
@@ -143,13 +148,23 @@ def run_export(
     else:
         reduced = assigned
 
-    payloads = ckpt.run_stage("stage4_payloads", lambda: enc.encode_tiles(reduced, opts))
-
-    # ---- sinks (K1/K3/K4) -------------------------------------------------
     content_dir = os.path.join(output_dir, "content")
     subtrees_dir = os.path.join(output_dir, "subtrees")
     os.makedirs(content_dir, exist_ok=True)
     os.makedirs(subtrees_dir, exist_ok=True)
+
+    prepared_models = None
+    if model_glbs:
+        prepared_models, _textures = enc.prepare_models(
+            model_glbs, opts, output_dir=content_dir
+        )
+
+    payloads = ckpt.run_stage(
+        "stage4_payloads",
+        lambda: enc.encode_tiles(reduced, opts, model_glbs=prepared_models),
+    )
+
+    # ---- sinks (K1/K3/K4) -------------------------------------------------
 
     ext = opts.content_extension
     n_content = 0
