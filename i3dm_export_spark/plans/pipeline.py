@@ -31,7 +31,7 @@ from ..functions import geodesy as geo
 from ..functions.cells import s2_cell_id
 from ..operators import encode as enc
 from ..operators import extent, subtree, tiling
-from ..operators.clustering import cluster_tiles
+from ..operators.skew import cluster_tiles_salted
 from .checkpoint import CheckpointManager
 
 INSTANCE_COLS = [
@@ -144,7 +144,11 @@ def run_export(
 
     # stage 4: LOD reduction for over-full content tiles, then payload encode
     if opts.use_clustering:
-        reduced = ckpt.run_stage("stage4_reduced", lambda: cluster_tiles(assigned, opts))
+        # explicit skew path: hot cells (dense urban tiles) are salted into
+        # bounded sub-groups before the superlinear per-tile k-means
+        reduced = ckpt.run_stage(
+            "stage4_reduced", lambda: cluster_tiles_salted(assigned, opts)
+        )
     else:
         reduced = assigned
 
