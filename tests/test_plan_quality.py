@@ -117,3 +117,62 @@ class TestCodegen:
         # exactly one Exchange (the hash aggregation shuffle)
         assert plan.count("Exchange") - plan.count("AQEShuffleRead") <= 2
         assert "HashAggregate" in plan
+
+
+class TestDedupPlans:
+    def test_minhash_is_shuffle_free_projection(self, spark):
+        """The banded-minhash signature is a pure per-doc projection —
+        higher-order functions only: no Exchange, no Python eval."""
+        from i3dm_export_spark.operators.dedup import minhash_signatures
+
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        plan = _plan(minhash_signatures(docs, n_bands=4, rows_per_band=4, shingle_n=9))
+        assert "Exchange" not in plan
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+    def test_lsh_pairs_single_shuffle_no_join(self, spark):
+        """Pair generation is groupBy + bounded explode — one bucket-key
+        shuffle plus the final distinct; NO self-join (a join would
+        re-evaluate the signature pipeline per side)."""
+        from i3dm_export_spark.operators.dedup import (
+            lsh_candidate_pairs,
+            minhash_signatures,
+        )
+
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        sigs = minhash_signatures(docs, n_bands=4, rows_per_band=4, shingle_n=9)
+        plan = _plan(lsh_candidate_pairs(sigs))
+        assert "Join" not in plan
+        # bucket groupBy + distinct = two physical shuffles max
+        # (formatted explain prints each node twice: tree + detail section)
+        import re
+
+        assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 2
+
+
+class TestSimilarityPlans:
+    def test_ivf_probe_join_broadcasts_queries(self, spark):
+        from i3dm_export_spark.operators.similarity import ivf_ann
+        from i3dm_export_spark.sources.tables import load_table
+
+        emb = load_table(spark, SF_DIR, "embeddings")
+        plan = _plan(ivf_ann(emb, emb.filter("vec_id < 5"), 3, n_lists=4, n_probe=2))
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan
+
+
+class TestSkewPlans:
+    def test_salt_flag_join_is_broadcast(self, spark):
+        from pyspark.sql import functions as F
+
+        from i3dm_export_spark.operators import skew
+
+        df = spark.range(1000).select(
+            F.lit(3).alias("level"), (F.col("id") % 4).alias("x"),
+            F.lit(0).alias("y"), F.col("id").cast("string").alias("url"),
+        )
+        counts = df.groupBy("level", "x", "y").agg(F.count(F.lit(1)).alias("_n"))
+        hot = skew.hot_cell_keys(counts, 100)
+        plan = _plan(skew.add_salt_for_hot(df, hot, 8, id_col="url"))
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan
