@@ -75,3 +75,69 @@ def hot_cell_counts_stream(pages: DataFrame, bounds: Bounds,
         )
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
+
+
+def hot_cell_detector_stream(
+    pages: DataFrame,
+    bounds: Bounds,
+    cell_level: int = 8,
+    half_life_s: float = 600.0,
+    hot_rate: float = 1000.0,
+):
+    """Custom stateful streaming operator (``applyInPandasWithState``):
+    per-cell exponentially-decayed arrival counter with a hot flag.
+
+    Built-in watermarked window counts (:func:`hot_cell_counts_stream`)
+    forget a cell entirely once its window closes; skew detection wants a
+    RUNNING rate with smooth decay across micro-batches, which needs
+    user-defined state: state per cell = (decayed_count, last_event_ts_s);
+    each micro-batch decays the carried count by 2^(-dt/half_life) and
+    adds the batch's arrivals. Emits one row per (cell, micro-batch) with
+    the decayed rate and ``is_hot = rate > hot_rate`` — the streaming
+    analog of operators/skew.hot_cell_keys, feeding salt decisions for
+    the next batch tiling run.
+
+    State is one tiny tuple per cell (bounded by 4^cell_level, in practice
+    by the crawl's spatial footprint); grouping is on the cell key, so the
+    shuffle matches the batch pipeline's partitioning.
+    """
+    import pandas as pd
+
+    keyed = with_cell_keys(pages.select("url", "warc_ts", "lon", "lat"),
+                           bounds, cell_level)
+    out_schema = (
+        "cell_x long, cell_y long, decayed_count double, "
+        "batch_rows long, is_hot boolean"
+    )
+    state_schema = "decayed_count double, last_ts_s double"
+
+    def _detect(key, pdfs, state):
+        n = 0
+        max_ts = None
+        for pdf in pdfs:
+            n += len(pdf)
+            ts = pd.to_datetime(pdf["warc_ts"]).max()
+            if max_ts is None or ts > max_ts:
+                max_ts = ts
+        now_s = max_ts.timestamp() if max_ts is not None else 0.0
+        if state.exists:
+            prev_count, prev_ts = state.get
+            dt = max(now_s - prev_ts, 0.0)
+            carried = prev_count * (0.5 ** (dt / half_life_s))
+        else:
+            carried, prev_ts = 0.0, now_s
+        total = carried + n
+        state.update((float(total), float(max(now_s, prev_ts))))
+        yield pd.DataFrame(
+            {
+                "cell_x": [int(key[0])],
+                "cell_y": [int(key[1])],
+                "decayed_count": [float(total)],
+                "batch_rows": [n],
+                "is_hot": [bool(total > hot_rate)],
+            }
+        )
+
+    return keyed.groupBy("cell_x", "cell_y").applyInPandasWithState(
+        _detect, out_schema, state_schema, "append", "NoTimeout"
+    )

@@ -63,3 +63,51 @@ class TestStreamingIngest:
         # the watermark), so assert the query ran and the schema is right
         res = spark.sql("select * from hot_cells")
         assert {"window", "cell_x", "cell_y", "cnt"} <= set(res.columns)
+
+    def test_stateful_hot_cell_detector(self, spark, tmp_path):
+        """applyInPandasWithState: state carries decayed counts across
+        micro-batches (maxFilesPerTrigger=1 -> one batch per file drop)."""
+        import numpy as np
+        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        src = tmp_path / "in3"
+        src.mkdir()
+        # two drops; skewed: most rows land in one cell
+        for i in range(2):
+            pdf = synthesize_pages(400, scenario="A")
+            pdf["warc_ts"] = pdf["warc_ts"].dt.tz_localize(None).astype("datetime64[us]")
+            pdf["tags"] = pdf["tags"].astype("string")
+            # pack 90% of points into a single spot (one hot cell)
+            hot = np.arange(len(pdf)) % 10 != 0
+            pdf.loc[hot, "lon"] = 34.001
+            pdf.loc[hot, "lat"] = 44.001
+            pq.write_table(pa.Table.from_pandas(pdf), src / f"d{i}.parquet")
+
+        pages = ingest.read_pages_stream(spark, str(src), max_files_per_trigger=1)
+        det = ingest.hot_cell_detector_stream(
+            pages, Bounds(34.0, 44.0, 34.1, 44.1), cell_level=4,
+            half_life_s=3600.0, hot_rate=500.0,
+        )
+        q = (
+            det.writeStream.format("memory")
+            .queryName("hot_detector")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", str(tmp_path / "ckpt3"))
+            .start()
+        )
+        q.awaitTermination(180)
+        res = spark.sql(
+            "select * from hot_detector order by cell_x, cell_y, decayed_count"
+        ).toPandas()
+        assert len(res) > 0
+        hot_cell = res[res["batch_rows"] >= 300]
+        assert len(hot_cell) >= 2  # the hot cell appears in both batches
+        # state accumulated: the second batch's decayed_count > one batch
+        assert hot_cell["decayed_count"].max() > 500.0
+        assert bool(hot_cell.iloc[-1]["is_hot"])
+        # cold cells never flag
+        cold = res[res["batch_rows"] < 100]
+        assert not cold["is_hot"].any()
