@@ -226,6 +226,22 @@ def q_range_join(spark, sf_dir):
     return out.select("a.raster_id", "b.x", "b.y")
 
 
+def q_lineitem_pricing(spark, sf_dir):
+    """General hash-agg surface (TPC-H-Q1 shape) over the driver's
+    lineitem table; SAME SQL text as the oracle (decimal-exact sums —
+    double sums are addition-order-dependent across engines)."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(oracles.q_lineitem_pricing())
+
+
+def q_orders_topk_join(spark, sf_dir):
+    """General join surface (TPC-H-Q3 shape): customer x orders x lineitem
+    + decimal-exact revenue top-k; same SQL text as the oracle."""
+    for t in ("customer", "orders", "lineitem"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(oracles.q_orders_topk_join())
+
+
 def q_dedup_exact(spark, sf_dir):
     return dedup.exact_dedup(_docs(spark, sf_dir))
 
@@ -435,6 +451,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": q_text_fingerprint,
         # generic agg / events
         "events_hourly": q_events_hourly,
+        "lineitem_pricing": q_lineitem_pricing,
+        "orders_topk_join": q_orders_topk_join,
         "subtree_bits": q_subtree_bits,
         # non-SQL-expressible (rows-only)
         "cluster_kmeans": q_cluster_kmeans,
@@ -473,5 +491,7 @@ def oracle_sql() -> dict[str, str]:
         "text_langid": oracles.q_text_langid(),
         "text_fingerprint": oracles.q_text_fingerprint(),
         "events_hourly": oracles.q_events_hourly(),
+        "lineitem_pricing": oracles.q_lineitem_pricing(),
+        "orders_topk_join": oracles.q_orders_topk_join(),
         "subtree_bits": oracles.q_subtree_bits(50, 6),
     }

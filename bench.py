@@ -76,10 +76,11 @@ def main() -> None:
     # ---- operator queries at the sf dir ------------------------------------
     qs = entry.queries()
     for name in (
-        "tile_tree", "leaf_assignment", "knn", "pip_rect", "range_join",
+        "tile_tree", "leaf_assignment", "knn", "knn_per_tile", "pip_rect",
+        "pip_polygon", "range_join",
         "dedup_exact", "minhash_sigs", "lsh_pairs", "simhash",
-        "cosine_topk", "text_quality", "text_langid", "events_hourly",
-        "cluster_kmeans",
+        "cosine_topk", "ann_ivf", "text_quality", "text_langid",
+        "events_hourly", "cluster_kmeans",
     ):
         t0 = time.perf_counter()
         n = qs[name](spark, SF_DIR).count()

@@ -523,3 +523,40 @@ def q_subtree_bits(max_features: int = 50, max_level: int = 6) -> str:
         "CAST(COALESCE(MAX(CASE WHEN b.child_bit THEN 1 ELSE 0 END), 0) AS INT) AS bit "
         "FROM pos16 p LEFT JOIN boundary b ON b.bit_index = p.bit_index GROUP BY p.bit_index"
     )
+
+
+def q_lineitem_pricing() -> str:
+    """TPC-H-Q1-shaped pricing summary over the driver's lineitem table —
+    exercises the general hash-aggregate surface the generalized engine
+    inherits from Spark (the reference itself has only count/extent aggs,
+    SURVEY.md §2.4). Sums go through DECIMAL so both engines accumulate
+    exactly (double sums are addition-order-dependent); the final CAST to
+    DOUBLE of an exact decimal is deterministic."""
+    return (
+        "SELECT l_returnflag, l_linestatus, "
+        "CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty, "
+        "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price, "
+        "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1.0 - l_discount AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price, "
+        "COUNT(*) AS count_order "
+        "FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00' "
+        "GROUP BY l_returnflag, l_linestatus"
+    )
+
+
+def q_orders_topk_join() -> str:
+    """TPC-H-Q3-shaped 3-way join + top-k — exercises the broadcast/shuffle
+    join surface. Revenue stays DECIMAL through the ORDER BY (exact, so
+    both engines pick the same top-k) and only the final projection casts
+    to DOUBLE; tie-break on o_orderkey."""
+    return (
+        "SELECT o_orderkey, CAST(revenue AS DOUBLE) AS revenue, o_orderdate FROM ("
+        "SELECT o.o_orderkey, "
+        "SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) * CAST(1.0 - l.l_discount AS DECIMAL(18,4))) AS revenue, "
+        "o.o_orderdate "
+        "FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey "
+        "JOIN lineitem l ON l.l_orderkey = o.o_orderkey "
+        "WHERE c.c_mktsegment = 'BUILDING' "
+        "AND o.o_orderdate < TIMESTAMP '1999-01-01 00:00:00' "
+        "GROUP BY o.o_orderkey, o.o_orderdate) t "
+        "ORDER BY revenue DESC, o_orderkey ASC LIMIT 10"
+    )
