@@ -38,11 +38,19 @@ _TREE_OPTS = ExportOptions(max_features_per_tile=50, max_level=6)
 def _instances(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic geocode of `documents` — the same SQL text the oracle
     CTE uses, run through Catalyst (sources/pages.INSTANCE_COLS)."""
+    from i3dm_export_spark.packaging import ensure_shipped
+
+    # the harness may import this module from an arbitrary cwd; any query
+    # whose UDF closure references the package needs it shipped to workers
+    ensure_shipped(spark)
     load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
     return spark.sql(f"SELECT {INSTANCE_COLS} FROM documents")
 
 
 def _docs(spark, sf_dir):
+    from i3dm_export_spark.packaging import ensure_shipped
+
+    ensure_shipped(spark)
     # min_splits: the local single-row-group parquet otherwise pins every
     # pre-shuffle hash/text stage to one core (see sources/tables.py)
     return load_table(
@@ -338,6 +346,61 @@ def q_events_hourly(spark, sf_dir):
     )
 
 
+# ---- multimodal columns (operators/multimodal.py) -------------------------
+
+def _media(spark, sf_dir):
+    """Deterministic synthetic media blobs over `documents`: ASCII magic
+    prefix by doc_id % 4 + text, utf-8 encoded (same construction as the
+    oracle's media CTE, i3dm_export_spark/oracles._MEDIA_CTE)."""
+    docs = _docs(spark, sf_dir)
+    prefix = F.element_at(
+        F.array(F.lit("GIF8"), F.lit("RIFF"), F.lit("ID3"), F.lit("")),
+        (F.col("doc_id") % 4 + 1).cast("int"),
+    )
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode(F.concat(prefix, F.col("text")), "utf-8").alias("blob"),
+    )
+
+
+def q_media_metadata(spark, sf_dir):
+    from i3dm_export_spark.operators import multimodal as mm
+
+    return mm.media_metadata(_media(spark, sf_dir)).select(
+        "media_id", "media_bytes", "media_md5", "media_type"
+    )
+
+
+def q_video_frames(spark, sf_dir):
+    from i3dm_export_spark.operators import multimodal as mm
+
+    frames = mm.sample_video_frames(
+        _media(spark, sf_dir), n_frames=4, id_col="media_id"
+    )
+    return frames.select(
+        "media_id", "frame_index", F.hex("frame").alias("frame_hex")
+    )
+
+
+def q_resize_images(spark, sf_dir):
+    from i3dm_export_spark.operators import multimodal as mm
+
+    resized = mm.resize_images(
+        _media(spark, sf_dir), 64, 64, id_col="media_id"
+    )
+    return resized.select("media_id", F.hex("resized").alias("resized_hex"))
+
+
+def q_image_features(spark, sf_dir):
+    """Decode-to-embedding seam (stub codec; RNG features — rows-only)."""
+    from i3dm_export_spark.operators import multimodal as mm
+
+    feats = mm.decode_image_features(
+        _media(spark, sf_dir), id_col="media_id", dim=16
+    )
+    return feats.select("media_id", F.size("features").alias("dim"))
+
+
 # ---- non-SQL-expressible ops (rows-only checks) ---------------------------
 
 def q_cluster_kmeans(spark, sf_dir):
@@ -449,6 +512,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "text_langid": q_text_langid,
         "text_fingerprint": q_text_fingerprint,
+        # multimodal columns
+        "media_metadata": q_media_metadata,
+        "video_frames": q_video_frames,
+        "resize_images": q_resize_images,
+        "image_features": q_image_features,
         # generic agg / events
         "events_hourly": q_events_hourly,
         "lineitem_pricing": q_lineitem_pricing,
@@ -490,6 +558,9 @@ def oracle_sql() -> dict[str, str]:
         "text_quality": oracles.q_text_quality(),
         "text_langid": oracles.q_text_langid(),
         "text_fingerprint": oracles.q_text_fingerprint(),
+        "media_metadata": oracles.q_media_metadata(),
+        "video_frames": oracles.q_video_frames(4),
+        "resize_images": oracles.q_resize_images(64, 64),
         "events_hourly": oracles.q_events_hourly(),
         "lineitem_pricing": oracles.q_lineitem_pricing(),
         "orders_topk_join": oracles.q_orders_topk_join(),

@@ -60,11 +60,9 @@ def main() -> None:
     opts = ExportOptions(max_features_per_tile=1000, max_level=14, use_i3dm=True)
     tree = tiling.build_tile_tree(pages, bounds, opts, n_estimate=n_instances)
     assigned = tiling.assign_to_content_tiles(pages, tree, opts)
-    # ECEF encode is required for payload encoding
-    from i3dm_export_spark.plans.pipeline import stage1_encode
-
-    encoded = stage1_encode(assigned)
-    payloads = encode_tiles(encoded, opts)
+    # fused path: ECEF computed inside the per-tile encoder (one Arrow
+    # round-trip; byte-identical to the stage1-precomputed path)
+    payloads = encode_tiles(assigned, opts)
     n_tiles = payloads.count()
     dt = time.perf_counter() - t0
     timings["export_pipeline"] = round(dt, 3)

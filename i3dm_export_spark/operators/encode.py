@@ -324,6 +324,7 @@ def encode_tiles_batched(assigned, opts, order_col: str = "url",
     )
 
     def _encode_group(pdf: pd.DataFrame) -> bytes:
+        pdf = _ensure_ecef_cols(pdf, keep)
         if gpu:
             from .gpu_encode import encode_gpu_tile_pdf
 
@@ -384,16 +385,40 @@ def encode_tiles_batched(assigned, opts, order_col: str = "url",
 def _encode_input_cols(opts, order_col: str, available: set[str]) -> list[str]:
     """Exactly the columns the per-tile encoder consumes — everything else
     is pruned BEFORE the tile-key shuffle (the one big exchange in the
-    pipeline; ~25% byte reduction on the stage-0 schema)."""
+    pipeline; ~25% byte reduction on the stage-0 schema).
+
+    When the input has no precomputed ECEF columns (x_ecef absent) the
+    encoder runs in FUSED mode: lon/lat/z ride the shuffle (same bytes)
+    and the ECEF transform happens inside the per-tile group function —
+    one Arrow round-trip over the data instead of two (a separate
+    stage1_encode pandas-UDF pass costs a full serialize+deserialize of
+    every row). The checkpointed pipeline still precomputes ECEF once
+    (stage1 is its own resumable artifact); direct export paths fuse."""
     cols = ["level", "x", "y", order_col, "scale", "yaw", "pitch", "roll",
             "model", "tags"]
-    if opts.keep_projection:
+    if opts.keep_projection or "x_ecef" not in available:
         cols += ["lon", "lat", "z"]
-    else:
+    if not opts.keep_projection:
         cols += ["x_ecef", "y_ecef", "z_ecef"]
     if opts.use_scale_non_uniform:
         cols.append("scale_non_uniform")
     return [c for c in cols if c in available]
+
+
+def _ensure_ecef_cols(pdf: pd.DataFrame, keep_projection: bool) -> pd.DataFrame:
+    """Fused-mode F17: add x/y/z_ecef from lon/lat/z when absent —
+    identical float64 arithmetic to plans/pipeline.stage1_encode, so
+    payloads are byte-identical either way (parity-tested)."""
+    if keep_projection or "x_ecef" in pdf.columns:
+        return pdf
+    from ..functions import geodesy as geo
+
+    xyz = geo.wgs84_to_ecef(
+        pdf["lon"].to_numpy(), pdf["lat"].to_numpy(), pdf["z"].to_numpy()
+    )
+    pdf = pdf.copy()
+    pdf["x_ecef"], pdf["y_ecef"], pdf["z_ecef"] = xyz[:, 0], xyz[:, 1], xyz[:, 2]
+    return pdf
 
 
 def prepare_models(
@@ -483,6 +508,7 @@ def encode_tiles(assigned, opts, order_col: str = "url",
     gpu = opts.use_gpu_instancing
 
     def _encode(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = _ensure_ecef_cols(pdf, keep)
         if gpu:
             from .gpu_encode import encode_gpu_tile_pdf
 

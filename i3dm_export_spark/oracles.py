@@ -560,3 +560,58 @@ def q_orders_topk_join() -> str:
         "GROUP BY o.o_orderkey, o.o_orderdate) t "
         "ORDER BY revenue DESC, o_orderkey ASC LIMIT 10"
     )
+
+
+# ---------------------------------------------------------------------------
+# multimodal columns (operators/multimodal.py)
+# ---------------------------------------------------------------------------
+
+# Deterministic synthetic media blobs: ASCII magic prefix chosen by
+# doc_id % 4, concatenated with the document text and utf-8 encoded. ASCII
+# prefixes (GIF8 / RIFF / ID3) keep the blob valid UTF-8 so DuckDB's
+# md5(VARCHAR) hashes the same bytes Spark's F.md5(BINARY) does.
+_MEDIA_CTE = (
+    "media AS (SELECT doc_id AS media_id, "
+    "CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 'GIF8' WHEN 1 THEN 'RIFF' "
+    "WHEN 2 THEN 'ID3' ELSE '' END || text AS blob_str FROM documents)"
+)
+
+
+def q_media_metadata() -> str:
+    """media_metadata: byte size + md5 fingerprint + magic-byte sniff.
+    The sniff CASE mirrors operators/multimodal._MAGIC for the prefixes
+    reachable from valid UTF-8 text (the non-ASCII magics cannot occur)."""
+    return (
+        f"WITH {_MEDIA_CTE}\n"
+        "SELECT media_id, "
+        "CAST(octet_length(encode(blob_str)) AS BIGINT) AS media_bytes, "
+        "md5(blob_str) AS media_md5, "
+        "CASE WHEN blob_str LIKE 'GIF8%' THEN 'image/gif' "
+        "WHEN blob_str LIKE 'RIFF%' THEN 'audio/wav-or-avi' "
+        "WHEN blob_str LIKE 'ID3%' THEN 'audio/mp3' "
+        "ELSE 'application/octet-stream' END AS media_type "
+        "FROM media"
+    )
+
+
+def q_video_frames(n_frames: int = 4) -> str:
+    """sample_video_frames stub: frame i = b'FRAME:i:' + md5(blob).digest().
+    Compared as hex (Spark F.hex / DuckDB hex are both uppercase; md5 hex
+    is lowercase in both, upper() = hex of the raw digest)."""
+    return (
+        f"WITH {_MEDIA_CTE},\n"
+        f"idx AS (SELECT CAST(p AS INT) AS frame_index FROM range({n_frames}) r(p))\n"
+        "SELECT media_id, frame_index, "
+        "hex(encode('FRAME:' || frame_index || ':')) || upper(md5(blob_str)) AS frame_hex "
+        "FROM media CROSS JOIN idx"
+    )
+
+
+def q_resize_images(width: int = 64, height: int = 64) -> str:
+    """resize_images stub: b'RESIZED:WxH:' + md5(blob).digest(), as hex."""
+    return (
+        f"WITH {_MEDIA_CTE}\n"
+        "SELECT media_id, "
+        f"hex(encode('RESIZED:{width}x{height}:')) || upper(md5(blob_str)) AS resized_hex "
+        "FROM media"
+    )

@@ -56,7 +56,7 @@ bounds = extent.compute_bounds(pages)
 opts = ExportOptions(max_features_per_tile={max_features}, max_level=14, use_i3dm=True)
 tree = tiling.build_tile_tree(pages, bounds, opts, n_estimate=n)
 assigned = tiling.assign_to_content_tiles(pages, tree, opts)
-payloads = encode_tiles(stage1_encode(assigned), opts)
+payloads = encode_tiles(assigned, opts)  # fused ECEF encode
 n_tiles = payloads.count()
 dt = time.perf_counter() - t0
 # supplementary: compute-bound kernel scan (ECEF+S2 UDF, no shuffle) —

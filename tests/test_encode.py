@@ -190,3 +190,34 @@ class TestEncodeTilesParity:
         }
         assert a == b
         assert len(a) > 10
+
+
+class TestFusedEcefEncode:
+    def test_fused_equals_stage1_precomputed(self, spark):
+        """encode_tiles over raw lon/lat/z (fused ECEF) must produce
+        byte-identical payloads to the stage1-precomputed path."""
+        from i3dm_export_spark.config import Bounds, ExportOptions
+        from i3dm_export_spark.operators import tiling
+        from i3dm_export_spark.operators.encode import encode_tiles
+        from i3dm_export_spark.plans.pipeline import stage1_encode
+        from i3dm_export_spark.sources.pages import DOCS_BBOX, pages_df
+
+        pages = pages_df(spark, 400, scenario="A")
+        from i3dm_export_spark.plans.pipeline import stage0_instances
+
+        inst = stage0_instances(pages)
+        opts = ExportOptions(max_features_per_tile=100, max_level=6, use_i3dm=True)
+        bounds = Bounds(*DOCS_BBOX)
+        tree = tiling.build_tile_tree(inst, bounds, opts, deep_level=6)
+        assigned = tiling.assign_to_content_tiles(inst, tree, opts)
+
+        fused = {
+            (r.level, r.x, r.y): bytes(r.payload)
+            for r in encode_tiles(assigned, opts).collect()
+        }
+        pre = {
+            (r.level, r.x, r.y): bytes(r.payload)
+            for r in encode_tiles(stage1_encode(assigned), opts).collect()
+        }
+        assert fused.keys() == pre.keys() and len(fused) > 0
+        assert fused == pre
