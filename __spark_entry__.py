@@ -441,6 +441,17 @@ def q_ann_ivf(spark, sf_dir):
     )
 
 
+def q_ann_ivf_fullprobe(spark, sf_dir):
+    """IVF with n_probe == n_lists degenerates to exact top-k (every list
+    probed), so the brute-force cosine oracle checks the whole IVF path —
+    codebook assignment, list equi-join, and re-rank — end to end."""
+    emb = load_table(spark, sf_dir, "embeddings",
+                     min_splits=spark.sparkContext.defaultParallelism)
+    return similarity.ivf_ann(
+        emb, emb.filter("vec_id < 10"), 5, n_lists=16, n_probe=16
+    )
+
+
 def q_embedding_near_dup(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings",
                      min_splits=spark.sparkContext.defaultParallelism)
@@ -527,6 +538,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pip_polygon": q_pip_polygon,
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
+        "ann_ivf_fullprobe": q_ann_ivf_fullprobe,
         "embedding_near_dup": q_embedding_near_dup,
         "knn_per_tile": q_knn_per_tile,
     }
@@ -565,4 +577,7 @@ def oracle_sql() -> dict[str, str]:
         "lineitem_pricing": oracles.q_lineitem_pricing(),
         "orders_topk_join": oracles.q_orders_topk_join(),
         "subtree_bits": oracles.q_subtree_bits(50, 6),
+        # counts-level oracles for otherwise non-SQL-expressible ops
+        "cluster_kmeans": oracles.q_cluster_counts(50, 6),
+        "ann_ivf_fullprobe": oracles.q_cosine_topk(5, 10),
     }

@@ -615,3 +615,18 @@ def q_resize_images(width: int = 64, height: int = 64) -> str:
         f"hex(encode('RESIZED:{width}x{height}:')) || upper(md5(blob_str)) AS resized_hex "
         "FROM media"
     )
+
+
+def q_cluster_counts(max_features: int = 50, max_level: int = 6) -> str:
+    """Clustering-mode LOD reduction, checked on COUNTS — the reference's
+    own test criterion (tests/Clustering/ClusteringTests.cs:36-37 asserts
+    exactly-k, not member identity). With clustering on, every visited
+    tile with cnt > 0 holds content (over-full tiles get reduced content
+    AND recurse, src/ImplicitTiling.cs:47-66), and the reduced row count
+    is exactly LEAST(cnt, max_features)."""
+    return (
+        f"{tree_ctes(max_features, max_level)}\n"
+        f"SELECT CAST(level AS INT) AS level, x, y, "
+        f"CAST(LEAST(cnt, {max_features}) AS BIGINT) AS n_reduced "
+        f"FROM tree WHERE cnt > 0"
+    )
