@@ -461,6 +461,27 @@ def q_embedding_near_dup(spark, sf_dir):
     return similarity.embedding_near_dup(emb, threshold=0.3, dim=dim, n_planes=4)
 
 
+def q_near_dup_exact(spark, sf_dir):
+    """embedding_near_dup with n_planes=0: one LSH bucket = exact
+    all-pairs semantics, so the whole near-dup path (signature, bucket
+    self-join, cosine filter) is checked against a SQL oracle."""
+    emb = load_table(spark, sf_dir, "embeddings",
+                     min_splits=spark.sparkContext.defaultParallelism)
+    dim = len(emb.select("embedding").first()[0])
+    return similarity.embedding_near_dup(emb, threshold=0.3, dim=dim, n_planes=0)
+
+
+def q_ann_lsh_exhaustive(spark, sf_dir):
+    """lsh_bucketed_ann with n_planes=0: one bucket = exact top-k, so the
+    brute-force cosine oracle checks the LSH join + re-rank path."""
+    emb = load_table(spark, sf_dir, "embeddings",
+                     min_splits=spark.sparkContext.defaultParallelism)
+    dim = len(emb.select("embedding").first()[0])
+    return similarity.lsh_bucketed_ann(
+        emb, emb.filter("vec_id < 10"), 5, dim=dim, n_planes=0
+    )
+
+
 def q_knn_per_tile(spark, sf_dir):
     inst = _instances(spark, sf_dir)
     tree = tiling.build_tile_tree(inst, _BOUNDS, _TREE_OPTS, deep_level=6)
@@ -539,6 +560,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
         "ann_ivf_fullprobe": q_ann_ivf_fullprobe,
+        "ann_lsh_exhaustive": q_ann_lsh_exhaustive,
+        "near_dup_exact": q_near_dup_exact,
         "embedding_near_dup": q_embedding_near_dup,
         "knn_per_tile": q_knn_per_tile,
     }
@@ -580,4 +603,6 @@ def oracle_sql() -> dict[str, str]:
         # counts-level oracles for otherwise non-SQL-expressible ops
         "cluster_kmeans": oracles.q_cluster_counts(50, 6),
         "ann_ivf_fullprobe": oracles.q_cosine_topk(5, 10),
+        "ann_lsh_exhaustive": oracles.q_cosine_topk(5, 10),
+        "near_dup_exact": oracles.q_near_dup_exact(0.3),
     }

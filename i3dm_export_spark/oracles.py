@@ -630,3 +630,19 @@ def q_cluster_counts(max_features: int = 50, max_level: int = 6) -> str:
         f"CAST(LEAST(cnt, {max_features}) AS BIGINT) AS n_reduced "
         f"FROM tree WHERE cnt > 0"
     )
+
+
+def q_near_dup_exact(threshold: float = 0.3) -> str:
+    """embedding_near_dup with n_planes=0 (single LSH bucket) = exact
+    all-pairs near-dup; threshold applies to the 6-decimal-rounded cosine
+    exactly as the engine filters."""
+    dot = "list_dot_product(a.e, b.e)"
+    na = "sqrt(list_dot_product(a.e, a.e))"
+    nb = "sqrt(list_dot_product(b.e, b.e))"
+    return (
+        "WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),\n"
+        "p AS (SELECT a.vec_id AS a, b.vec_id AS b, "
+        f"ROUND({dot} / ({na} * {nb}), 6) AS cosine "
+        "FROM v a, v b WHERE a.vec_id < b.vec_id)\n"
+        f"SELECT a, b, cosine FROM p WHERE cosine >= {threshold}"
+    )
