@@ -250,6 +250,44 @@ def q_orders_topk_join(spark, sf_dir):
     return spark.sql(oracles.q_orders_topk_join())
 
 
+def _shared_sql(spark, sf_dir, tables, sql):
+    """Run the oracle's exact SQL text through Catalyst — the general
+    engine-inheritance surface (joins/windows/set-ops the reference lacks,
+    SURVEY.md §2.5)."""
+    for t in tables:
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(sql)
+
+
+def q_region_revenue(spark, sf_dir):
+    return _shared_sql(
+        spark, sf_dir,
+        ("customer", "orders", "lineitem", "supplier", "nation", "region"),
+        oracles.q_region_revenue(),
+    )
+
+
+def q_events_topk_window(spark, sf_dir):
+    return _shared_sql(spark, sf_dir, ("events",), oracles.q_events_topk_window())
+
+
+def q_customers_without_orders(spark, sf_dir):
+    return _shared_sql(
+        spark, sf_dir, ("customer", "orders"), oracles.q_customers_without_orders()
+    )
+
+
+def q_pricing_rollup(spark, sf_dir):
+    return _shared_sql(spark, sf_dir, ("lineitem",), oracles.q_pricing_rollup())
+
+
+def q_nations_setops(spark, sf_dir):
+    return _shared_sql(
+        spark, sf_dir, ("nation", "customer", "supplier"),
+        oracles.q_nations_setops(),
+    )
+
+
 def q_dedup_exact(spark, sf_dir):
     return dedup.exact_dedup(_docs(spark, sf_dir))
 
@@ -553,6 +591,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly": q_events_hourly,
         "lineitem_pricing": q_lineitem_pricing,
         "orders_topk_join": q_orders_topk_join,
+        "region_revenue": q_region_revenue,
+        "events_topk_window": q_events_topk_window,
+        "customers_without_orders": q_customers_without_orders,
+        "pricing_rollup": q_pricing_rollup,
+        "nations_setops": q_nations_setops,
         "subtree_bits": q_subtree_bits,
         # non-SQL-expressible (rows-only)
         "cluster_kmeans": q_cluster_kmeans,
@@ -599,6 +642,11 @@ def oracle_sql() -> dict[str, str]:
         "events_hourly": oracles.q_events_hourly(),
         "lineitem_pricing": oracles.q_lineitem_pricing(),
         "orders_topk_join": oracles.q_orders_topk_join(),
+        "region_revenue": oracles.q_region_revenue(),
+        "events_topk_window": oracles.q_events_topk_window(),
+        "customers_without_orders": oracles.q_customers_without_orders(),
+        "pricing_rollup": oracles.q_pricing_rollup(),
+        "nations_setops": oracles.q_nations_setops(),
         "subtree_bits": oracles.q_subtree_bits(50, 6),
         # counts-level oracles for otherwise non-SQL-expressible ops
         "cluster_kmeans": oracles.q_cluster_counts(50, 6),

@@ -93,6 +93,7 @@ def main() -> None:
         "dedup_exact", "minhash_sigs", "lsh_pairs", "simhash",
         "cosine_topk", "ann_ivf", "text_quality", "text_langid",
         "events_hourly", "cluster_kmeans",
+        "media_metadata", "region_revenue", "events_topk_window",
     ):
         t0 = time.perf_counter()
         n = qs[name](spark, SF_DIR).count()

@@ -646,3 +646,69 @@ def q_near_dup_exact(threshold: float = 0.3) -> str:
         "FROM v a, v b WHERE a.vec_id < b.vec_id)\n"
         f"SELECT a, b, cosine FROM p WHERE cosine >= {threshold}"
     )
+
+
+# ---------------------------------------------------------------------------
+# general SQL surface — engine inheritance beyond the reference (§2.5 gaps:
+# the reference has no windows/sorts/set-ops; the generalized engine gets
+# them from Spark, checked by running the SAME SQL text in both engines)
+# ---------------------------------------------------------------------------
+
+def q_region_revenue() -> str:
+    """TPC-H-Q5-shaped 6-table join: revenue per region/nation where the
+    customer and supplier share a nation. Decimal-exact sum."""
+    return (
+        "SELECT r_name, n_name, "
+        "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * "
+        "CAST(1.0 - l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue "
+        "FROM customer, orders, lineitem, supplier, nation, region "
+        "WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey "
+        "AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey "
+        "AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey "
+        "GROUP BY r_name, n_name"
+    )
+
+
+def q_events_topk_window() -> str:
+    """Window-function surface: top-5 events by value per type
+    (deterministic tie-break on event_id)."""
+    return (
+        "SELECT event_type, event_id, value, rnk FROM ("
+        "SELECT event_type, event_id, value, "
+        "CAST(ROW_NUMBER() OVER (PARTITION BY event_type "
+        "ORDER BY value DESC, event_id ASC) AS INT) AS rnk "
+        "FROM events) t WHERE rnk <= 5"
+    )
+
+
+def q_customers_without_orders() -> str:
+    """Anti-join surface (NOT EXISTS -> left-anti in Catalyst). The
+    priority filter makes the result non-empty on the synthetic data
+    (every customer has SOME order; ~14% have no urgent one)."""
+    return (
+        "SELECT c_custkey, c_name FROM customer c "
+        "WHERE NOT EXISTS (SELECT 1 FROM orders o "
+        "WHERE o.o_custkey = c.c_custkey "
+        "AND o.o_orderpriority = '1-URGENT')"
+    )
+
+
+def q_pricing_rollup() -> str:
+    """Grouping-sets surface: ROLLUP super-aggregates (absent from the
+    reference, SURVEY.md §2.4 'no grouping sets')."""
+    return (
+        "SELECT COALESCE(l_returnflag, 'ALL') AS returnflag, "
+        "COALESCE(l_linestatus, 'ALL') AS linestatus, "
+        "COUNT(*) AS n, "
+        "CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty "
+        "FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)"
+    )
+
+
+def q_nations_setops() -> str:
+    """Set-op surface: nations having both customers and suppliers."""
+    return (
+        "SELECT n_name FROM nation JOIN customer ON c_nationkey = n_nationkey "
+        "INTERSECT "
+        "SELECT n_name FROM nation JOIN supplier ON s_nationkey = n_nationkey"
+    )
