@@ -85,6 +85,20 @@ def main() -> None:
     extras["instances_per_sec"] = round(n_instances / dt, 1)
     extras["tiles_per_sec"] = round(n_tiles / dt, 2)
 
+    # ---- GPU glb mode (reference parity: README.md:183 GPU bench) ----------
+    t0 = time.perf_counter()
+    gpu_opts = ExportOptions(max_features_per_tile=1000, max_level=14,
+                             use_gpu_instancing=True)
+    gpu_tree = tiling.build_tile_tree(pages, bounds, gpu_opts,
+                                      n_estimate=n_instances)
+    gpu_tiles = encode_tiles(
+        tiling.assign_to_content_tiles(pages, gpu_tree, gpu_opts), gpu_opts
+    ).count()
+    dt = time.perf_counter() - t0
+    timings["export_pipeline_gpu"] = round(dt, 3)
+    extras["gpu_instances_per_sec"] = round(n_instances / dt, 1)
+    extras["gpu_content_tiles"] = gpu_tiles
+
     # ---- operator queries at the sf dir ------------------------------------
     qs = entry.queries()
     for name in (

@@ -301,7 +301,15 @@ def encode_tiles_batched(assigned, opts, order_col: str = "url",
     per-group applyInPandas overhead turned out negligible at ~3000-row
     groups: 26.9s grouped vs 36.3s batched for 24M rows / 14,744 tiles).
     Kept because the trade flips when groups are tiny (<100 rows) or group
-    count is huge — byte-identical output, parity-tested."""
+    count is huge — byte-identical output, parity-tested.
+
+    A third variant — ``applyInArrow`` + per-group ``Table.to_pandas
+    (self_destruct=True)`` — was also measured and rejected: interleaved
+    A/B on the same 24M-row input gave 16.7-20.9s (grouped pandas) vs
+    26.4-33.8s (arrow); Spark's own grouped-pandas serde builds the frame
+    cheaper than pyarrow's to_pandas per group, and the encode kernel
+    needs pandas/numpy anyway. (An arrow-native no-op IS ~30% cheaper
+    than a pandas no-op, but only if the kernel never converts.)"""
     from pyspark.sql import functions as F, types as T
 
     from ..packaging import ensure_shipped
