@@ -288,6 +288,27 @@ def q_nations_setops(spark, sf_dir):
     )
 
 
+def q_asof_join(spark, sf_dir):
+    """Backward as-of join (operators/asof.py): each click picks up the
+    latest purchase value per user at or before its timestamp; checked
+    against DuckDB's native ASOF LEFT JOIN."""
+    from i3dm_export_spark.operators.asof import asof_join_backward
+
+    ev = load_table(spark, sf_dir, "events")
+    left = ev.filter("event_type = 'click'").select("event_id", "user_id", "ts")
+    right = (
+        ev.filter("event_type = 'purchase'")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("pval"))
+    )
+    out = asof_join_backward(left, right, on=["user_id"], value_cols=["pval"])
+    return out.select(
+        "event_id", "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+        F.round("pval", 6).alias("pval"),
+    )
+
+
 def q_dedup_exact(spark, sf_dir):
     return dedup.exact_dedup(_docs(spark, sf_dir))
 
@@ -596,6 +617,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customers_without_orders": q_customers_without_orders,
         "pricing_rollup": q_pricing_rollup,
         "nations_setops": q_nations_setops,
+        "asof_join": q_asof_join,
         "subtree_bits": q_subtree_bits,
         # non-SQL-expressible (rows-only)
         "cluster_kmeans": q_cluster_kmeans,
@@ -647,6 +669,7 @@ def oracle_sql() -> dict[str, str]:
         "customers_without_orders": oracles.q_customers_without_orders(),
         "pricing_rollup": oracles.q_pricing_rollup(),
         "nations_setops": oracles.q_nations_setops(),
+        "asof_join": oracles.q_asof_join(),
         "subtree_bits": oracles.q_subtree_bits(50, 6),
         # counts-level oracles for otherwise non-SQL-expressible ops
         "cluster_kmeans": oracles.q_cluster_counts(50, 6),

@@ -712,3 +712,19 @@ def q_nations_setops() -> str:
         "INTERSECT "
         "SELECT n_name FROM nation JOIN supplier ON s_nationkey = n_nationkey"
     )
+
+
+def q_asof_join() -> str:
+    """Backward as-of join oracle via DuckDB's native ASOF LEFT JOIN:
+    each click event picks up the latest purchase value (per user) at or
+    before its timestamp. The right side is deduped per (user, ts) so the
+    match is well-defined (operators/asof.py determinism note)."""
+    return (
+        "WITH l AS (SELECT event_id, user_id, ts FROM events "
+        "WHERE event_type = 'click'),\n"
+        "r AS (SELECT user_id, ts, MAX(value) AS pval FROM events "
+        "WHERE event_type = 'purchase' GROUP BY 1, 2)\n"
+        "SELECT l.event_id, l.user_id, "
+        "strftime(l.ts, '%Y-%m-%d %H:%M:%S') AS ts, ROUND(r.pval, 6) AS pval "
+        "FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts"
+    )

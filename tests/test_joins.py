@@ -119,3 +119,65 @@ class TestRangeJoin:
         got_c = {tuple(r) for r in ck.collect()}
         assert got_b == got_c
         assert len(got_b) > 40  # real overlaps exist
+
+
+class TestAsofJoin:
+    def test_matches_pandas_merge_asof(self, spark):
+        """Union+window as-of join must equal pandas merge_asof on a
+        deterministic fixture (keys with no match, exact-ts ties, and
+        multiple matches per key)."""
+        import numpy as np
+        import pandas as pd
+
+        from i3dm_export_spark.operators.asof import asof_join_backward
+
+        rng = np.random.default_rng(7)
+        n_l, n_r = 400, 300
+        lp = pd.DataFrame({
+            "id": np.arange(n_l),
+            "k": rng.integers(0, 20, n_l),
+            "t": rng.integers(0, 1000, n_l).astype("int64"),
+        })
+        rp = (
+            pd.DataFrame({
+                "k": rng.integers(0, 25, n_r),
+                "t": rng.integers(0, 1000, n_r).astype("int64"),
+                "v": np.round(rng.uniform(0, 100, n_r), 3),
+            })
+            .groupby(["k", "t"], as_index=False)["v"].max()
+        )
+        expected = pd.merge_asof(
+            lp.sort_values("t", kind="mergesort"),
+            rp.sort_values("t", kind="mergesort"),
+            on="t", by="k", direction="backward",
+        ).sort_values("id").reset_index(drop=True)
+
+        out = (
+            asof_join_backward(
+                spark.createDataFrame(lp), spark.createDataFrame(rp),
+                on=["k"], left_ts="t", right_ts="t", value_cols=["v"],
+            )
+            .toPandas().sort_values("id").reset_index(drop=True)
+        )
+        assert len(out) == n_l
+        pd.testing.assert_series_equal(
+            out["v"], expected["v"], check_exact=False, rtol=0, atol=0
+        )
+
+    def test_tolerance(self, spark):
+        import pandas as pd
+
+        from i3dm_export_spark.operators.asof import asof_join_backward
+
+        lp = pd.DataFrame({"id": [0, 1], "k": [1, 1], "t": [100.0, 500.0]})
+        rp = pd.DataFrame({"k": [1], "t": [90.0], "v": [7.0]})
+        out = (
+            asof_join_backward(
+                spark.createDataFrame(lp), spark.createDataFrame(rp),
+                on=["k"], left_ts="t", right_ts="t", value_cols=["v"],
+                tolerance_seconds=50,
+            )
+            .toPandas().set_index("id")
+        )
+        assert out.loc[0, "v"] == 7.0       # 10s old: inside tolerance
+        assert pd.isna(out.loc[1, "v"])     # 410s old: outside
