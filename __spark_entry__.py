@@ -331,6 +331,14 @@ def q_lsh_pairs(spark, sf_dir):
     return dedup.lsh_candidate_pairs(sigs)
 
 
+def q_dedup_components(spark, sf_dir):
+    """Canonical-doc election: connected components (min reachable id)
+    over the LSH candidate-pair graph — the step that turns pairwise
+    near-dup hits into keep/drop decisions."""
+    pairs = q_lsh_pairs(spark, sf_dir)
+    return dedup.connected_components(pairs).select("node", "comp")
+
+
 def q_simhash(spark, sf_dir):
     return dedup.simhash(_docs(spark, sf_dir), bits=16)
 
@@ -402,6 +410,32 @@ def q_events_hourly(spark, sf_dir):
     ).agg(
         F.count(F.lit(1)).alias("n"),
         F.round(F.sum("value"), 4).alias("sum_value"),
+    )
+
+
+def q_events_daily_rollup(spark, sf_dir):
+    """Hypertable-style hierarchical rollup: the DAILY aggregate is
+    derived from HOURLY partials (never re-reading raw rows) — the
+    continuous-aggregate pattern that makes multi-resolution rollups
+    O(hours) instead of O(rows) at scale. Sums go through DECIMAL so the
+    two-level reduction is exactly associative; the oracle aggregates
+    raw->daily directly, proving the partial reuse is lossless."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(18,4)")).alias("sv"),
+    )
+    return (
+        hourly.groupBy(
+            "event_type",
+            F.date_format(F.date_trunc("day", "hour"), "yyyy-MM-dd").alias("day"),
+        )
+        .agg(
+            F.sum("n").alias("n"),
+            F.sum("sv").cast("double").alias("sum_value"),
+        )
     )
 
 
@@ -594,6 +628,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "minhash_sigs": q_minhash_sigs,
         "lsh_pairs": q_lsh_pairs,
+        "dedup_components": q_dedup_components,
         "simhash": q_simhash,
         "ngram_jaccard": q_ngram_jaccard,
         # similarity search
@@ -610,6 +645,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_features": q_image_features,
         # generic agg / events
         "events_hourly": q_events_hourly,
+        "events_daily_rollup": q_events_daily_rollup,
         "lineitem_pricing": q_lineitem_pricing,
         "orders_topk_join": q_orders_topk_join,
         "region_revenue": q_region_revenue,
@@ -651,6 +687,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": oracles.q_dedup_exact(),
         "minhash_sigs": oracles.q_minhash_sigs(4, 9, 4),
         "lsh_pairs": oracles.q_lsh_pairs(4, 9, 4),
+        "dedup_components": oracles.q_dedup_components(4, 9, 4),
         "simhash": oracles.q_simhash(16),
         "ngram_jaccard": oracles.q_ngram_jaccard(3, 4, 9, 4),
         "cosine_topk": oracles.q_cosine_topk(5, 10),
@@ -662,6 +699,7 @@ def oracle_sql() -> dict[str, str]:
         "video_frames": oracles.q_video_frames(4),
         "resize_images": oracles.q_resize_images(64, 64),
         "events_hourly": oracles.q_events_hourly(),
+        "events_daily_rollup": oracles.q_events_daily_rollup(),
         "lineitem_pricing": oracles.q_lineitem_pricing(),
         "orders_topk_join": oracles.q_orders_topk_join(),
         "region_revenue": oracles.q_region_revenue(),

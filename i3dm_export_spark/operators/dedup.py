@@ -227,3 +227,66 @@ def dedup_rank_representatives(
         .filter("_rn = 1")
         .drop("_rn")
     )
+
+
+def connected_components(
+    pairs: DataFrame, a_col: str = "a", b_col: str = "b", max_iters: int = 30
+) -> DataFrame:
+    """Canonical-document election: connected components over the near-dup
+    pair graph, labeling every node with the MIN id reachable from it
+    (dedup keeps the min-id doc per component, drops the rest).
+
+    Iterative min-label propagation: each round every node takes the min
+    of its own label and its neighbors' labels; converges in O(diameter)
+    rounds (near-dup components are shallow — template families, mirror
+    sets). Each round is one shuffle over the EDGE list, never documents;
+    ``localCheckpoint`` per round keeps the plan O(1) (same hazard as the
+    tile-tree loop, operators/tiling.py). For adversarial long-chain
+    graphs at 10^12 scale, swap in the large-star/small-star algorithm
+    (Kiveris et al., "Connected Components in MapReduce", SoCC 2014) —
+    O(log n) rounds, same per-round join shape.
+
+    Returns (node, comp) for every node appearing in ``pairs``.
+    """
+    from pyspark.sql import functions as F
+
+    edges = pairs.select(
+        F.col(a_col).alias("src"), F.col(b_col).alias("dst")
+    )
+    edges = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct().localCheckpoint()
+
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("comp", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iters):
+        nbr_min = (
+            edges.join(labels, edges["src"] == labels["node"])
+            .groupBy("dst")
+            .agg(F.min("comp").alias("nbr_comp"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels["node"] == nbr_min["dst"], "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("comp"), F.coalesce("nbr_comp", "comp")
+                ).alias("comp"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.comp") != F.col("o.comp"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels

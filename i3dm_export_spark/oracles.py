@@ -728,3 +728,34 @@ def q_asof_join() -> str:
         "strftime(l.ts, '%Y-%m-%d %H:%M:%S') AS ts, ROUND(r.pval, 6) AS pval "
         "FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts"
     )
+
+
+def q_events_daily_rollup() -> str:
+    """Daily aggregate computed DIRECTLY from raw rows — the engine side
+    derives it from hourly partials instead; equality proves the
+    hierarchical rollup is lossless (DECIMAL sums are associative)."""
+    return (
+        "SELECT event_type, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, "
+        "COUNT(*) AS n, "
+        "CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value "
+        "FROM events GROUP BY 1, 2"
+    )
+
+
+def q_dedup_components(n_bands: int = 4, shingle_n: int = 9,
+                       rows_per_band: int = 4) -> str:
+    """Connected components over the LSH candidate-pair graph via a
+    recursive CTE: every node labeled with the MIN reachable doc_id
+    (the engine's iterative min-label propagation must agree exactly)."""
+    return (
+        f"WITH RECURSIVE {_shingle_cte(shingle_n)},\n"
+        f"{_sigs_cte(n_bands, rows_per_band)},\n"
+        "p AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b FROM sigs l "
+        "JOIN sigs r ON l.band = r.band AND l.sig = r.sig "
+        "AND l.doc_id < r.doc_id),\n"
+        "e AS (SELECT a AS src, b AS dst FROM p "
+        "UNION SELECT b AS src, a AS dst FROM p),\n"
+        "reach(node, m) AS (SELECT src, src FROM e "
+        "UNION SELECT e.dst, reach.m FROM reach JOIN e ON e.src = reach.node)\n"
+        "SELECT node, MIN(m) AS comp FROM reach GROUP BY node"
+    )

@@ -52,3 +52,19 @@ def test_bucket_cap_drops_degenerate_bucket_keeps_small(docs):
 
 def test_bucket_cap_none_is_identity(docs):
     assert _pairs(docs) == _pairs(docs, max_bucket_size=10**9)
+
+
+class TestConnectedComponents:
+    def test_min_label_propagation(self, spark):
+        """Two components incl. a 4-chain (multi-round propagation) and an
+        isolated pair; every node gets the min reachable id."""
+        from i3dm_export_spark.operators.dedup import connected_components
+
+        pairs = spark.createDataFrame(
+            [(1, 9), (9, 4), (4, 7), (20, 30)], "a long, b long"
+        )
+        got = {
+            r["node"]: r["comp"]
+            for r in connected_components(pairs).collect()
+        }
+        assert got == {1: 1, 9: 1, 4: 1, 7: 1, 20: 20, 30: 20}
