@@ -176,3 +176,29 @@ class TestSkewPlans:
         plan = _plan(skew.add_salt_for_hot(df, hot, 8, id_col="url"))
         assert "BroadcastHashJoin" in plan
         assert "SortMergeJoin" not in plan
+
+
+class TestAsofPlan:
+    def test_asof_join_one_shuffle_no_python(self, spark):
+        """The as-of operator itself must cost exactly one exchange (the
+        window partition over the union) and stay JVM-side."""
+        import pandas as pd
+
+        from i3dm_export_spark.operators.asof import asof_join_backward
+
+        left = spark.createDataFrame(
+            pd.DataFrame({"id": [1, 2], "k": [1, 1], "t": [5.0, 9.0]})
+        )
+        right = spark.createDataFrame(
+            pd.DataFrame({"k": [1], "t": [4.0], "v": [1.0]})
+        )
+        df = asof_join_backward(left, right, on=["k"], left_ts="t",
+                                right_ts="t", value_cols=["v"])
+        plan = _plan(df)
+        assert "Window" in plan
+        # formatted mode prints each operator in the tree AND the detail
+        # block, so one physical Exchange counts twice
+        assert plan.count("Exchange") - plan.count("AQEShuffleRead") <= 2
+        assert "BatchEvalPython" not in plan
+        assert "ArrowEvalPython" not in plan
+        assert "FlatMapGroupsInPandas" not in plan
