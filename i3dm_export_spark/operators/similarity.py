@@ -275,3 +275,97 @@ def embedding_near_dup(
         .filter(F.col("cosine") >= threshold)
         .select("a", "b", "cosine")
     )
+
+
+def build_ivf_index(
+    corpus: DataFrame,
+    path: str,
+    n_lists: int = 32,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 7,
+) -> np.ndarray:
+    """Persist an IVF index: the corpus written as parquet PARTITIONED BY
+    inverted-list id, plus the codebook saved beside it. At serving time a
+    probe touches only its lists' directories — Spark partition pruning
+    turns each query batch into an O(n_probe/n_lists) scan instead of a
+    full-corpus read, the on-disk analogue of FAISS's inverted lists.
+
+    Returns the trained codebook (n_lists x dim, unit-norm rows)."""
+    import json
+    import os
+
+    cents = train_ivf_centroids(
+        corpus, n_lists, id_col=id_col, vec_col=vec_col, seed=seed
+    )
+    assigned = assign_ivf_lists(corpus, cents, vec_col, n_probe=1, out="_l")
+    (
+        assigned.withColumn("ivf_list", F.col("_l")[0])
+        .drop("_l")
+        .write.mode("overwrite")
+        .partitionBy("ivf_list")
+        .parquet(path)
+    )
+    # tiny driver-side artifact; rewriting it is atomic enough for an index
+    with open(os.path.join(path, "_ivf_centroids.json"), "w") as f:
+        json.dump(cents.tolist(), f)
+    return cents
+
+
+def ivf_ann_from_index(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN over a persisted IVF index (:func:`build_ivf_index`): assign
+    each query its n_probe nearest lists, then scan ONLY those list
+    partitions (`isin` over the partition column -> directory pruning,
+    visible as PartitionFilters in the plan) and re-rank exactly.
+
+    Same output contract as :func:`ivf_ann` (query_id, neighbor_id, rank,
+    cosine); identical results when built with the same codebook seed."""
+    import json
+    import os
+
+    with open(os.path.join(path, "_ivf_centroids.json")) as f:
+        cents = np.asarray(json.load(f))
+
+    q = (
+        assign_ivf_lists(queries, cents, vec_col, n_probe=n_probe, out="_ql")
+        .select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("_qv"),
+            F.explode("_ql").alias("ivf_list"),
+        )
+    )
+    # the probed-list set is tiny (<= n_queries * n_probe); collecting it
+    # as literals is what lets the scan prune partitions
+    probed = sorted({r["ivf_list"] for r in q.select("ivf_list").distinct().collect()})
+    c = (
+        spark.read.parquet(path)
+        .filter(F.col("ivf_list").isin(probed))
+        .select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("_cv"),
+            "ivf_list",
+        )
+    )
+    joined = c.join(F.broadcast(q), "ivf_list").filter(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    qa = F.transform(F.col("_qv"), lambda v: v.cast("double"))
+    ca = F.transform(F.col("_cv"), lambda v: v.cast("double"))
+    cos = _dot(qa, ca) / (_norm(qa) * _norm(ca))
+    joined = joined.withColumn("cosine", F.round(cos, 6))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        joined.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )

@@ -59,3 +59,53 @@ def test_ivf_full_probe_equals_exact(emb):
     e = sorted((r.query_id, r.neighbor_id, r.rank) for r in exact.collect())
     a = sorted((r.query_id, r.neighbor_id, r.rank) for r in approx.collect())
     assert a == e
+
+
+class TestIvfIndex:
+    def test_index_served_equals_inmemory(self, spark, tmp_path):
+        """Partition-pruned serving over the persisted index must return
+        exactly what in-memory ivf_ann returns for the same codebook."""
+        from i3dm_export_spark.operators import similarity as sim
+        from i3dm_export_spark.sources.tables import load_table
+
+        emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+        queries = emb.filter("vec_id < 8")
+        path = str(tmp_path / "ivf_index")
+        sim.build_ivf_index(emb, path, n_lists=8, seed=7)
+
+        served = {
+            (r.query_id, r.rank): (r.neighbor_id, r.cosine)
+            for r in sim.ivf_ann_from_index(
+                spark, path, queries, 4, n_probe=3
+            ).collect()
+        }
+        direct = {
+            (r.query_id, r.rank): (r.neighbor_id, r.cosine)
+            for r in sim.ivf_ann(
+                emb, queries, 4, n_lists=8, n_probe=3, seed=7
+            ).collect()
+        }
+        assert len(served) > 0
+        assert served == direct
+
+    def test_scan_prunes_partitions(self, spark, tmp_path):
+        """The serving scan must read only the probed list directories
+        (PartitionFilters on ivf_list in the plan)."""
+        import io
+        from contextlib import redirect_stdout
+
+        from i3dm_export_spark.operators import similarity as sim
+        from i3dm_export_spark.sources.tables import load_table
+
+        emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+        path = str(tmp_path / "ivf_index")
+        sim.build_ivf_index(emb, path, n_lists=8, seed=7)
+        df = sim.ivf_ann_from_index(
+            spark, path, emb.filter("vec_id < 2"), 3, n_probe=2
+        )
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            df.explain("formatted")
+        plan = buf.getvalue()
+        assert "PartitionFilters" in plan
+        assert "ivf_list" in plan.split("PartitionFilters", 1)[1][:400]
