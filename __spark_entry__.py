@@ -413,6 +413,38 @@ def q_events_hourly(spark, sf_dir):
     )
 
 
+def q_stratified_sample(spark, sf_dir):
+    """Seedless deterministic stratified sample: top-20 docs per lang in
+    md5-of-id order (reproducible at any scale, no RNG state to ship)."""
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir)
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        docs.select("doc_id", "lang")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 20)
+        .drop("rk")
+    )
+
+
+def q_term_freq_topk(spark, sf_dir):
+    """Corpus term-frequency top-k: explode + hash agg; the shuffle moves
+    O(distinct terms) thanks to map-side partial aggregation."""
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(
+        F.explode(F.split(F.lower(F.trim("text")), " ")).alias("tok")
+    ).filter(F.col("tok") != "")
+    return (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("tok").asc())
+        .limit(50)
+    )
+
+
 def q_events_daily_rollup(spark, sf_dir):
     """Hypertable-style hierarchical rollup: the DAILY aggregate is
     derived from HOURLY partials (never re-reading raw rows) — the
@@ -646,6 +678,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # generic agg / events
         "events_hourly": q_events_hourly,
         "events_daily_rollup": q_events_daily_rollup,
+        "stratified_sample": q_stratified_sample,
+        "term_freq_topk": q_term_freq_topk,
         "lineitem_pricing": q_lineitem_pricing,
         "orders_topk_join": q_orders_topk_join,
         "region_revenue": q_region_revenue,
@@ -700,6 +734,8 @@ def oracle_sql() -> dict[str, str]:
         "resize_images": oracles.q_resize_images(64, 64),
         "events_hourly": oracles.q_events_hourly(),
         "events_daily_rollup": oracles.q_events_daily_rollup(),
+        "stratified_sample": oracles.q_stratified_sample(20),
+        "term_freq_topk": oracles.q_term_freq_topk(50),
         "lineitem_pricing": oracles.q_lineitem_pricing(),
         "orders_topk_join": oracles.q_orders_topk_join(),
         "region_revenue": oracles.q_region_revenue(),

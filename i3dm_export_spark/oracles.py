@@ -759,3 +759,29 @@ def q_dedup_components(n_bands: int = 4, shingle_n: int = 9,
         "UNION SELECT e.dst, reach.m FROM reach JOIN e ON e.src = reach.node)\n"
         "SELECT node, MIN(m) AS comp FROM reach GROUP BY node"
     )
+
+
+def q_stratified_sample(per_group: int = 20) -> str:
+    """Deterministic stratified sampling: keep ``per_group`` docs per lang
+    in md5-of-id order — the seedless, engine-independent sampling recipe
+    a training pipeline uses to take reproducible slices at any scale
+    (md5 hex compares identically everywhere; doc_id breaks exact-hash
+    ties, which cannot occur, but makes the order total by construction)."""
+    return (
+        "SELECT doc_id, lang FROM ("
+        "SELECT doc_id, lang, CAST(ROW_NUMBER() OVER (PARTITION BY lang "
+        "ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS INT) AS rk "
+        f"FROM documents) t WHERE rk <= {per_group}"
+    )
+
+
+def q_term_freq_topk(k: int = 50) -> str:
+    """Corpus term frequency top-k — the canonical shuffle-heavy
+    explode+aggregate (map-side partial agg keeps the shuffle at
+    O(distinct terms), not O(tokens))."""
+    return (
+        "WITH toks AS (SELECT unnest(string_split(lower(trim(text)), ' ')) AS tok "
+        "FROM documents)\n"
+        "SELECT tok, COUNT(*) AS n FROM toks WHERE tok != '' "
+        f"GROUP BY tok ORDER BY n DESC, tok ASC LIMIT {k}"
+    )
