@@ -68,3 +68,25 @@ def orientation_select(df: DataFrame, use_gpu_instancing: bool = False):
         f"Missing orientation columns for {mode} mode: expected yaw/pitch/roll"
         " (or legacy 'rotation' for non-GPU)"
     )
+
+
+def save_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    n_buckets: int = 32,
+    sort_cols: list[str] | None = None,
+) -> None:
+    """Persist a DataFrame bucketed (and optionally sorted) by join key —
+    the co-location recipe for repeated large-x-large joins: two tables
+    bucketed by the same key with the same bucket count join WITHOUT a
+    shuffle (Catalyst sees the hashed layout and drops both Exchanges).
+    At 100 TB this is how the instances table and any per-key side table
+    (e.g. per-url quality scores) meet repeatedly without re-shuffling
+    petabytes per run. Uses the session warehouse (saveAsTable — Spark
+    bucketing metadata lives in the catalog, not in bare parquet paths).
+    """
+    w = df.write.mode("overwrite").bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    w.format("parquet").saveAsTable(table)

@@ -202,3 +202,33 @@ class TestAsofPlan:
         assert "BatchEvalPython" not in plan
         assert "ArrowEvalPython" not in plan
         assert "FlatMapGroupsInPandas" not in plan
+
+
+class TestBucketedJoin:
+    def test_bucketed_join_eliminates_shuffle(self, spark, tmp_path):
+        """Two tables bucketed on the join key must sort-merge join with
+        ZERO Exchange operators — the co-location contract the 100 TB
+        design leans on for repeated joins (README scale design)."""
+        from i3dm_export_spark.sources.tables import save_bucketed
+
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        scores = docs.selectExpr("doc_id", "n_chars * 2 AS score")
+        save_bucketed(docs, "t_docs_b", ["doc_id"], n_buckets=8)
+        save_bucketed(scores, "t_scores_b", ["doc_id"], n_buckets=8)
+        try:
+            a = spark.table("t_docs_b")
+            b = spark.table("t_scores_b")
+            # merge hint: the sf0.01 tables are small enough that AQE would
+            # broadcast (hiding the layout); at real scale SMJ is the
+            # strategy and the bucketing is what removes its exchanges
+            joined = (
+                a.hint("merge").join(b, "doc_id")
+                .select("doc_id", "lang", "score")
+            )
+            plan = _plan(joined)
+            assert "SortMergeJoin" in plan
+            assert "Exchange" not in plan.replace("AQEShuffleRead", "")
+            assert joined.count() == docs.count()
+        finally:
+            spark.sql("DROP TABLE IF EXISTS t_docs_b")
+            spark.sql("DROP TABLE IF EXISTS t_scores_b")
