@@ -607,6 +607,17 @@ def q_ann_lsh_exhaustive(spark, sf_dir):
     )
 
 
+def q_ann_lsh_multiprobe(spark, sf_dir):
+    """Multi-table LSH ANN (recall amplification across independent
+    hyperplane tables; rows-only — bucketed semantics, recall-tested)."""
+    emb = load_table(spark, sf_dir, "embeddings",
+                     min_splits=spark.sparkContext.defaultParallelism)
+    dim = len(emb.select("embedding").first()[0])
+    return similarity.lsh_multiprobe_ann(
+        emb, emb.filter("vec_id < 10"), 5, dim=dim, n_planes=4, n_tables=4
+    )
+
+
 def q_knn_per_tile(spark, sf_dir):
     inst = _instances(spark, sf_dir)
     tree = tiling.build_tile_tree(inst, _BOUNDS, _TREE_OPTS, deep_level=6)
@@ -696,6 +707,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf": q_ann_ivf,
         "ann_ivf_fullprobe": q_ann_ivf_fullprobe,
         "ann_lsh_exhaustive": q_ann_lsh_exhaustive,
+        "ann_lsh_multiprobe": q_ann_lsh_multiprobe,
         "near_dup_exact": q_near_dup_exact,
         "embedding_near_dup": q_embedding_near_dup,
         "knn_per_tile": q_knn_per_tile,

@@ -369,3 +369,62 @@ def ivf_ann_from_index(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cosine")
     )
+
+
+def lsh_multiprobe_ann(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    dim: int,
+    n_planes: int = 8,
+    n_tables: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Multi-table LSH ANN: ``n_tables`` independent hyperplane tables,
+    candidates unioned across tables and deduped before ONE exact re-rank.
+    Standard recall amplification — a true neighbor is missed only if it
+    collides in NO table, so miss probability decays exponentially with
+    n_tables while each table's bucket stays selective (vs widening one
+    table's buckets by dropping planes, which grows candidates linearly).
+
+    Plan shape: per table one signature projection (JVM higher-order
+    functions, no UDF) + one broadcast equi-join on (table, signature);
+    the union is a physical no-op (same partitioning); distinct before the
+    cosine keeps the re-rank work at |unique candidates|.
+    """
+    cands = None
+    for t in range(n_tables):
+        c = hyperplane_signature(
+            corpus, dim, n_planes, vec_col, seed=seed + 1000 * t
+        ).select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("_cv"),
+            "lsh_sig",
+        )
+        q = hyperplane_signature(
+            queries, dim, n_planes, vec_col, seed=seed + 1000 * t
+        ).select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("_qv"),
+            "lsh_sig",
+        )
+        pairs = c.join(F.broadcast(q), "lsh_sig").filter(
+            F.col("query_id") != F.col("neighbor_id")
+        ).select("query_id", "neighbor_id", "_qv", "_cv")
+        cands = pairs if cands is None else cands.unionByName(pairs)
+
+    cands = cands.dropDuplicates(["query_id", "neighbor_id"])
+    qa = F.transform(F.col("_qv"), lambda v: v.cast("double"))
+    ca = F.transform(F.col("_cv"), lambda v: v.cast("double"))
+    cos = _dot(qa, ca) / (_norm(qa) * _norm(ca))
+    ranked = cands.withColumn("cosine", F.round(cos, 6))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        ranked.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )

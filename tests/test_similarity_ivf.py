@@ -109,3 +109,54 @@ class TestIvfIndex:
         plan = buf.getvalue()
         assert "PartitionFilters" in plan
         assert "ivf_list" in plan.split("PartitionFilters", 1)[1][:400]
+
+
+class TestMultiprobeLsh:
+    def test_recall_improves_with_tables(self, spark):
+        """Multi-table LSH must beat single-table recall vs brute force on
+        the same plane budget per table."""
+        from i3dm_export_spark.operators import similarity as sim
+        from i3dm_export_spark.sources.tables import load_table
+
+        emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+        queries = emb.filter("vec_id < 20")
+        exact = {
+            (r.query_id, r.neighbor_id)
+            for r in sim.cosine_topk_bruteforce(emb, queries, 5).collect()
+        }
+
+        # synthetic embeddings top out near cosine 0.5 (~60 deg), so the
+        # per-plane collision prob is ~2/3: 4 planes -> ~0.2/table, and
+        # 1-(1-0.2)^6 ~ 0.74 expected for 6 tables — the regime where the
+        # exponential amplification is visible on adversarial data
+        def recall(n_tables):
+            got = {
+                (r.query_id, r.neighbor_id)
+                for r in sim.lsh_multiprobe_ann(
+                    emb, queries, 5, dim=64, n_planes=4, n_tables=n_tables
+                ).collect()
+            }
+            return len(got & exact) / len(exact)
+
+        r1, r6 = recall(1), recall(6)
+        assert r6 >= r1
+        assert r6 >= 0.4, f"multi-table recall {r6}"
+
+    def test_fullband_equals_exact(self, spark):
+        """n_planes=0 degenerates every table to one bucket = exact."""
+        from i3dm_export_spark.operators import similarity as sim
+        from i3dm_export_spark.sources.tables import load_table
+
+        emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+        queries = emb.filter("vec_id < 5")
+        got = {
+            (r.query_id, r.rank): r.neighbor_id
+            for r in sim.lsh_multiprobe_ann(
+                emb, queries, 4, dim=64, n_planes=0, n_tables=2
+            ).collect()
+        }
+        exact = {
+            (r.query_id, r.rank): r.neighbor_id
+            for r in sim.cosine_topk_bruteforce(emb, queries, 4).collect()
+        }
+        assert got == exact
