@@ -413,6 +413,14 @@ def q_events_hourly(spark, sf_dir):
     )
 
 
+def q_sessionize(spark, sf_dir):
+    """Gap-based sessionization over the events log (30-min gap)."""
+    from i3dm_export_spark.operators.sessionize import sessionize
+
+    ev = load_table(spark, sf_dir, "events")
+    return sessionize(ev).select("event_id", "user_id", "session_id")
+
+
 def q_stratified_sample(spark, sf_dir):
     """Seedless deterministic stratified sample: top-20 docs per lang in
     md5-of-id order (reproducible at any scale, no RNG state to ship)."""
@@ -690,6 +698,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly": q_events_hourly,
         "events_daily_rollup": q_events_daily_rollup,
         "stratified_sample": q_stratified_sample,
+        "sessionize": q_sessionize,
         "term_freq_topk": q_term_freq_topk,
         "lineitem_pricing": q_lineitem_pricing,
         "orders_topk_join": q_orders_topk_join,
@@ -747,6 +756,7 @@ def oracle_sql() -> dict[str, str]:
         "events_hourly": oracles.q_events_hourly(),
         "events_daily_rollup": oracles.q_events_daily_rollup(),
         "stratified_sample": oracles.q_stratified_sample(20),
+        "sessionize": oracles.q_sessionize(1800),
         "term_freq_topk": oracles.q_term_freq_topk(50),
         "lineitem_pricing": oracles.q_lineitem_pricing(),
         "orders_topk_join": oracles.q_orders_topk_join(),

@@ -785,3 +785,21 @@ def q_term_freq_topk(k: int = 50) -> str:
         "SELECT tok, COUNT(*) AS n FROM toks WHERE tok != '' "
         f"GROUP BY tok ORDER BY n DESC, tok ASC LIMIT {k}"
     )
+
+
+def q_sessionize(gap_seconds: int = 1800) -> str:
+    """Gap-based session numbering (operators/sessionize.py): lag gap ->
+    new-session flag -> running sum, (ts, event_id) tie-break. epoch()
+    differences are timezone-invariant, matching Spark's long cast."""
+    return (
+        "SELECT event_id, user_id, CAST(session_id AS BIGINT) AS session_id FROM ("
+        "SELECT event_id, user_id, "
+        "SUM(CASE WHEN prev_ts IS NULL OR "
+        f"CAST(epoch(ts) AS BIGINT) - CAST(epoch(prev_ts) AS BIGINT) > {gap_seconds} "
+        "THEN 1 ELSE 0 END) OVER "
+        "(PARTITION BY user_id ORDER BY ts, event_id "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id "
+        "FROM (SELECT event_id, user_id, ts, "
+        "LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts "
+        "FROM events) t1) t2"
+    )
