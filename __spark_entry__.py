@@ -281,6 +281,20 @@ def q_pricing_rollup(spark, sf_dir):
     return _shared_sql(spark, sf_dir, ("lineitem",), oracles.q_pricing_rollup())
 
 
+def q_pricing_cube(spark, sf_dir):
+    return _shared_sql(spark, sf_dir, ("lineitem",), oracles.q_pricing_cube())
+
+
+def q_events_percentiles(spark, sf_dir):
+    """Exact interpolated percentiles per group: Spark `percentile` and
+    DuckDB `quantile_cont` share the linear-interpolation definition."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(value, 0.9)"), 6).alias("p90"),
+    )
+
+
 def q_nations_setops(spark, sf_dir):
     return _shared_sql(
         spark, sf_dir, ("nation", "customer", "supplier"),
@@ -706,6 +720,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_topk_window": q_events_topk_window,
         "customers_without_orders": q_customers_without_orders,
         "pricing_rollup": q_pricing_rollup,
+        "pricing_cube": q_pricing_cube,
+        "events_percentiles": q_events_percentiles,
         "nations_setops": q_nations_setops,
         "asof_join": q_asof_join,
         "subtree_bits": q_subtree_bits,
@@ -764,6 +780,8 @@ def oracle_sql() -> dict[str, str]:
         "events_topk_window": oracles.q_events_topk_window(),
         "customers_without_orders": oracles.q_customers_without_orders(),
         "pricing_rollup": oracles.q_pricing_rollup(),
+        "pricing_cube": oracles.q_pricing_cube(),
+        "events_percentiles": oracles.q_events_percentiles(),
         "nations_setops": oracles.q_nations_setops(),
         "asof_join": oracles.q_asof_join(),
         "subtree_bits": oracles.q_subtree_bits(50, 6),

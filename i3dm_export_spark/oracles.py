@@ -803,3 +803,27 @@ def q_sessionize(gap_seconds: int = 1800) -> str:
         "LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts "
         "FROM events) t1) t2"
     )
+
+
+def q_pricing_cube() -> str:
+    """CUBE grouping sets (completes the grouping-sets surface beside
+    ROLLUP): all four aggregation levels over returnflag x linestatus."""
+    return (
+        "SELECT COALESCE(l_returnflag, 'ALL') AS returnflag, "
+        "COALESCE(l_linestatus, 'ALL') AS linestatus, "
+        "COUNT(*) AS n, "
+        "CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty "
+        "FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)"
+    )
+
+
+def q_events_percentiles() -> str:
+    """Exact interpolated percentiles per group (ordered statistics —
+    absent from the reference; Spark percentile == DuckDB quantile_cont,
+    both linear interpolation on the sorted values)."""
+    return (
+        "SELECT event_type, "
+        "ROUND(quantile_cont(value, 0.5), 6) AS p50, "
+        "ROUND(quantile_cont(value, 0.9), 6) AS p90 "
+        "FROM events GROUP BY event_type"
+    )
