@@ -649,13 +649,18 @@ def q_knn_per_tile(spark, sf_dir):
 
 def q_subtree_bits(spark, sf_dir):
     """T4: root-subtree availability bitstreams as rows — computed by the
-    engine's bit assembler (operators/subtree.subtree_bitstrings) from the
-    stage-2 tree."""
+    DISTRIBUTED assembler (operators/subtree.build_subtrees_spark: tile-row
+    shuffle keyed by subtree root + per-group bit-pack in executors), so the
+    oracle gate covers the scale path, not the driver-pandas twin."""
     from i3dm_export_spark.operators import subtree as st
 
     tree = _tree(spark, sf_dir)
-    tiles_pdf = tiling.collect_tiles(tree)
-    tb, cb, chb = st.subtree_bitstrings(tiles_pdf, 0, 0, 0, 2)
+    root = (
+        st.build_subtrees_spark(tree.tiles, 2)
+        .filter("root_level = 0 AND root_x = 0 AND root_y = 0")
+        .collect()[0]
+    )
+    tb, cb, chb = root["tile_bits"], root["content_bits"], root["child_bits"]
     rows = (
         [("tile", i, int(c)) for i, c in enumerate(tb)]
         + [("content", i, int(c)) for i, c in enumerate(cb)]

@@ -176,6 +176,95 @@ def build_subtrees_pandas(tiles_pdf: pd.DataFrame, subtree_levels: int = 2):
     return out
 
 
+def subtree_tile_pairs(tiles, subtree_levels: int):
+    """(subtree root, tile) pairs as a DataFrame — the distributed analogue
+    of the per-root row selection in :func:`build_subtrees_pandas`.
+
+    Every tile maps to the root of the subtree it is INTERIOR to
+    (local level in [0, s)); tiles sitting exactly on a subtree-root level
+    additionally feed the PARENT subtree as boundary rows (local level s,
+    childSubtreeAvailability). Pure JVM expressions, no UDF.
+    """
+    from pyspark.sql import functions as F
+
+    s = subtree_levels
+    t = tiles.select("level", "x", "y", "content_available", "n_instances")
+    own = t.select(
+        (F.col("level") - F.col("level") % s).cast("int").alias("root_level"),
+        F.expr(f"shiftright(x, CAST(level % {s} AS INT))").cast("long").alias("root_x"),
+        F.expr(f"shiftright(y, CAST(level % {s} AS INT))").cast("long").alias("root_y"),
+        "level", "x", "y", "content_available", "n_instances",
+        F.lit(True).alias("is_interior"),
+    )
+    parent = t.filter((F.col("level") % s == 0) & (F.col("level") > 0)).select(
+        (F.col("level") - s).cast("int").alias("root_level"),
+        F.expr(f"shiftright(x, {s})").cast("long").alias("root_x"),
+        F.expr(f"shiftright(y, {s})").cast("long").alias("root_y"),
+        "level", "x", "y", "content_available", "n_instances",
+        F.lit(False).alias("is_interior"),
+    )
+    return own.unionByName(parent)
+
+
+_SUBTREE_SCHEMA = (
+    "root_level int, root_x long, root_y long, "
+    "tile_bits string, content_bits string, child_bits string, payload binary"
+)
+
+
+def build_subtrees_spark(tiles, subtree_levels: int = 2):
+    """T4 at scale: all subtree files assembled IN EXECUTORS.
+
+    One shuffle of tile rows (never instances) keyed by subtree root; each
+    group is bounded by the subtree geometry ((4^s-1)/3 + 4^s rows, 21 for
+    s=2), so assembly parallelism grows with tile count — the 10^8-tile
+    regime the driver-side :func:`build_subtrees_pandas` cannot reach
+    (reference delegates to a single-process NuGet package,
+    src/ImplicitTiling.cs:13-31; there is no distributed analogue there).
+
+    Returns a DataFrame (root_level, root_x, root_y, tile_bits,
+    content_bits, child_bits, payload) with one row per subtree file,
+    bit-identical to :func:`build_subtrees_pandas` (parity-tested).
+    """
+    from ..packaging import ensure_shipped
+
+    ensure_shipped(tiles.sparkSession)
+    s = subtree_levels
+    pairs = subtree_tile_pairs(tiles, s)
+
+    def _assemble(pdf: pd.DataFrame) -> pd.DataFrame:
+        rl = int(pdf["root_level"].iloc[0])
+        rx = int(pdf["root_x"].iloc[0])
+        ry = int(pdf["root_y"].iloc[0])
+        interior = pdf["is_interior"].to_numpy(bool)
+        hc = pdf["n_instances"].to_numpy(np.int64) > 0
+        # a subtree file exists iff the subtree records any content
+        # (same root-set rule as build_subtrees_pandas)
+        if not bool((interior & hc).any()):
+            return pd.DataFrame(
+                {c: pd.Series(dtype=d) for c, d in [
+                    ("root_level", "int64"), ("root_x", "int64"),
+                    ("root_y", "int64"), ("tile_bits", "object"),
+                    ("content_bits", "object"), ("child_bits", "object"),
+                    ("payload", "object"),
+                ]}
+            )
+        bits = subtree_bitstrings(pdf, rl, rx, ry, s)
+        return pd.DataFrame(
+            {
+                "root_level": [rl], "root_x": [rx], "root_y": [ry],
+                "tile_bits": [bits[0]], "content_bits": [bits[1]],
+                "child_bits": [bits[2]],
+                "payload": [serialize_subtree(*bits)],
+            }
+        )
+
+    return (
+        pairs.groupBy("root_level", "root_x", "root_y")
+        .applyInPandas(_assemble, _SUBTREE_SCHEMA)
+    )
+
+
 def parse_subtree(data: bytes):
     """Round-trip reader for tests: returns (json_dict, raw_buffer)."""
     magic, version, jlen, blen = struct.unpack("<4sIQQ", data[:24])

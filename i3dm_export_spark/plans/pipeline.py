@@ -32,6 +32,7 @@ from ..functions.cells import s2_cell_id
 from ..operators import encode as enc
 from ..operators import extent, subtree, tiling
 from ..operators.skew import cluster_tiles_salted
+from . import sinks
 from .checkpoint import CheckpointManager
 
 INSTANCE_COLS = [
@@ -168,31 +169,55 @@ def run_export(
         lambda: enc.encode_tiles(reduced, opts, model_glbs=prepared_models),
     )
 
-    # ---- sinks (K1/K3/K4) -------------------------------------------------
+    # ---- sinks (K1/K3/K4): executor-side, nothing funnels through the
+    # driver (the K1 scale contract — SURVEY §2.1; plan-gated in
+    # tests/test_plan_quality.py) --------------------------------------------
 
     ext = opts.content_extension
-    n_content = 0
     if write_content:
-        rows = payloads.select("level", "x", "y", "payload").toLocalIterator()
-        for r in rows:
-            path = os.path.join(content_dir, f"{r['level']}_{r['x']}_{r['y']}.{ext}")
-            with open(path, "wb") as f:
-                f.write(bytes(r["payload"]))
-            n_content += 1
+        content_files = payloads.select(
+            F.format_string(f"%d_%d_%d.{ext}", "level", "x", "y").alias("relpath"),
+            "payload",
+        )
+        n_content = sinks.write_binary_files(
+            content_files, content_dir,
+            manifest_path=os.path.join(ckpt.root, "_sink_manifests", "content"),
+        )
     else:
         n_content = payloads.count()
 
-    tiles_pdf = tiling.collect_tiles(tree)
-    subs = subtree.build_subtrees_pandas(tiles_pdf, subtree_levels)
-    for (lvl, x, y), (_tb, _cb, _sb, data) in subs.items():
-        with open(os.path.join(subtrees_dir, f"{lvl}_{x}_{y}.subtree"), "wb") as f:
-            f.write(data)
+    # T4 distributed: subtree files assembled in executors (one tile-row
+    # shuffle, groups bounded by subtree geometry), then the same
+    # executor-side binary sink
+    subs_df = ckpt.run_stage(
+        "stage5_subtrees",
+        lambda: subtree.build_subtrees_spark(tree.tiles, subtree_levels),
+    )
+    sub_files = subs_df.select(
+        F.format_string("%d_%d_%d.subtree", "root_level", "root_x", "root_y")
+        .alias("relpath"),
+        "payload",
+    )
+    n_subtree_files = sinks.write_binary_files(
+        sub_files, subtrees_dir,
+        manifest_path=os.path.join(ckpt.root, "_sink_manifests", "subtrees"),
+    )
 
     # tileset.json (K4); subtreeLevels inference per reference
-    # src/Program.cs:151: Z of the 2nd subtree file else 2
-    keys = sorted(subs)
-    inferred_subtree_levels = keys[1][0] if len(keys) > 1 else 2
-    avail_levels = subtree.available_levels(tiles_pdf)
+    # src/Program.cs:151: Z of the 2nd subtree file else 2 — the sorted-key
+    # peek is a 2-row limit, not a collect of the tile table
+    first_roots = (
+        subs_df.select("root_level", "root_x", "root_y")
+        .orderBy("root_level", "root_x", "root_y")
+        .limit(2)
+        .collect()
+    )
+    inferred_subtree_levels = (
+        first_roots[1]["root_level"] if len(first_roots) > 1 else 2
+    )
+    avail_levels = (
+        tree.tiles.agg((F.max("level") + F.lit(1)).alias("al")).collect()[0]["al"]
+    )
     region = bounds.to_region(radians=not opts.keep_projection)
     ts_json = enc.tileset_json(
         region, opts.geometric_error, avail_levels, inferred_subtree_levels,
@@ -212,9 +237,9 @@ def run_export(
 
     return {
         "n_instances": inst.count(),
-        "n_tiles_recorded": len(tiles_pdf),
+        "n_tiles_recorded": tree.tiles.count(),
         "n_content_tiles": n_content,
-        "n_subtree_files": len(subs),
+        "n_subtree_files": n_subtree_files,
         "available_levels": avail_levels,
         "subtree_levels": inferred_subtree_levels,
         "text_invariant_violations": n_broken,

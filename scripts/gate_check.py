@@ -14,7 +14,12 @@ import numpy as np  # noqa: E402
 import pandas as pd  # noqa: E402
 from pyspark.sql import SparkSession  # noqa: E402
 
-SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+_args = [a for a in sys.argv[1:] if not a.startswith("--only")]
+_only = [
+    a.split("=", 1)[1] for a in sys.argv[1:] if a.startswith("--only=")
+]
+ONLY = set(_only[0].split(",")) if _only else None
+SF_DIR = _args[0] if _args else "/root/testdata/sf0.01"
 TABLES = [
     "region", "nation", "customer", "supplier", "part", "orders",
     "lineitem", "events", "documents", "embeddings",
@@ -67,6 +72,8 @@ def main() -> None:
     qs, osql = e.queries(), e.oracle_sql()
     n_ok = n_rows_only = n_fail = 0
     for name, fn in qs.items():
+        if ONLY is not None and name not in ONLY:
+            continue
         try:
             sdf = fn(spark, SF_DIR).toPandas()
         except Exception as ex:

@@ -117,3 +117,42 @@ class TestClusteredExport:
         assert mx <= 100
         # clustering doubles up: interior over-full tiles also carry content
         assert s["n_content_tiles"] > 25  # 2500/100 leaves alone would be ~25
+
+
+class TestDistributedSinks:
+    def test_write_binary_files_idempotent(self, spark, tmp_path):
+        from i3dm_export_spark.plans import sinks
+
+        df = spark.createDataFrame(
+            [("a/x.bin", bytearray(b"hello")), ("y.bin", bytearray(b"\x00\x01"))],
+            "relpath string, payload binary",
+        )
+        root = tmp_path / "sink"
+        n = sinks.write_binary_files(df, str(root), manifest_path=str(tmp_path / "m"))
+        assert n == 2
+        assert (root / "a" / "x.bin").read_bytes() == b"hello"
+        assert (root / "y.bin").read_bytes() == b"\x00\x01"
+        # second run: same files, same manifest count, no temp litter
+        n2 = sinks.write_binary_files(df, str(root), manifest_path=str(tmp_path / "m"))
+        assert n2 == 2
+        assert (root / "a" / "x.bin").read_bytes() == b"hello"
+        leftovers = [p for p in root.rglob("*.tmp.*")]
+        assert leftovers == []
+
+    def test_export_never_materializes_on_driver(self, spark, tmp_path, monkeypatch):
+        """K1/K3 plan gate (VERDICT r1 items 1-2, 10): the export hot path
+        must not pull payloads or the tile table through the driver."""
+        from pyspark.sql import DataFrame
+
+        def _boom(name):
+            def _f(self, *a, **k):
+                raise AssertionError(f"driver materialization via {name} in export path")
+            return _f
+
+        monkeypatch.setattr(DataFrame, "toLocalIterator", _boom("toLocalIterator"))
+        monkeypatch.setattr(DataFrame, "toPandas", _boom("toPandas"))
+        pages = pages_df(spark, 500, scenario="A")
+        opts = ExportOptions(max_features_per_tile=100, max_level=10)
+        s = pipeline.run_export(pages, opts, str(tmp_path / "exp_gate"))
+        assert s["n_content_tiles"] > 0
+        assert s["n_subtree_files"] >= 1

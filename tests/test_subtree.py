@@ -140,3 +140,51 @@ class TestRootSubtreeContentBits:
                         lx, ly = morton_decode(np.array([m]))
                         rebuilt.add((rl + ll, (rx << ll) + int(lx[0]), (ry << ll) + int(ly[0])))
         assert rebuilt == content_tiles
+
+
+class TestDistributedSubtrees:
+    """T4 scale path: executor-side assembly must be bit-identical to the
+    driver-pandas twin (VERDICT r1 item 2)."""
+
+    def _tree(self, spark):
+        from i3dm_export_spark.config import ExportOptions
+        from i3dm_export_spark.operators import extent, tiling
+        from i3dm_export_spark.sources.pages import synthesize_pages
+
+        pdf = synthesize_pages(2500, scenario="A")
+        bounds = extent.derive_root_bounds(
+            pdf["lon"].min(), pdf["lat"].min(), pdf["lon"].max(), pdf["lat"].max(), 0, 0
+        )
+        opts = ExportOptions(max_features_per_tile=100, max_level=12)
+        return tiling.build_tile_tree(spark.createDataFrame(pdf), bounds, opts)
+
+    def test_parity_with_pandas(self, spark):
+        from i3dm_export_spark.operators import tiling
+
+        tree = self._tree(spark)
+        tiles_pdf = tiling.collect_tiles(tree)
+        for s in (2, 3):
+            subs_p = subtree.build_subtrees_pandas(tiles_pdf, subtree_levels=s)
+            rows = subtree.build_subtrees_spark(tree.tiles, subtree_levels=s).collect()
+            subs_s = {
+                (r.root_level, r.root_x, r.root_y):
+                    (r.tile_bits, r.content_bits, r.child_bits, bytes(r.payload))
+                for r in rows
+            }
+            assert set(subs_s) == set(subs_p)
+            for k, (tb, cb, chb, data) in subs_p.items():
+                assert subs_s[k] == (tb, cb, chb, data)
+
+    def test_groups_are_tile_bounded(self, spark):
+        # the shuffle key is the subtree root; a group holds at most the
+        # subtree's interior slots + child-root slots, never instances
+        tree = self._tree(spark)
+        s = 2
+        pairs = subtree.subtree_tile_pairs(tree.tiles, s)
+        from pyspark.sql import functions as F
+
+        mx = (
+            pairs.groupBy("root_level", "root_x", "root_y")
+            .count().agg(F.max("count")).collect()[0][0]
+        )
+        assert mx <= (4 ** s - 1) // 3 + 4 ** s
