@@ -114,6 +114,26 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - t0, 3)
         extras[f"rows_{name}"] = n
 
+    # ---- LSH signatures at a real embedding dim (768) ----------------------
+    # VERDICT r1 item 5 bench point: the Arrow-matmul signature path; plan
+    # size is dim-independent, so this measures pure batch throughput
+    from pyspark.sql import functions as F
+
+    from i3dm_export_spark.operators.similarity import hyperplane_signature
+    from i3dm_export_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings", min_splits=CPUS).withColumn(
+        "embedding", F.flatten(F.array_repeat("embedding", 12))
+    ).localCheckpoint()
+    n_emb = emb.count()
+    hyperplane_signature(emb, 768, 16).select("lsh_sig").count()  # warm
+    t0 = time.perf_counter()
+    n = hyperplane_signature(emb, 768, 16).select("lsh_sig").distinct().count()
+    dt = time.perf_counter() - t0
+    timings["lsh_sig_dim768"] = round(dt, 3)
+    extras["rows_lsh_sig_dim768"] = n
+    extras["sig768_vecs_per_sec"] = round(n_emb / dt, 1)
+
     total = round(sum(timings.values()), 3)
     sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
     print(

@@ -78,9 +78,15 @@ def asof_join_backward(
     u = u.withColumn("_m", F.last("_rv", ignorenulls=True).over(w))
     out = u.filter(F.col("_side") == 1)
     if tolerance_seconds is not None:
+        # TIMESTAMP_NTZ rejects a direct cast to double; bridge through
+        # TIMESTAMP first (same workaround as sessionize.py). Numeric _ts
+        # columns survive the bridge unchanged (double <-> timestamp casts
+        # are seconds-based and round-trip at microsecond precision).
+        def _secs(c):
+            return c.cast("timestamp").cast("double")
+
         in_tol = (
-            F.col("_ts").cast("double")
-            - F.col("_m._matched_ts").cast("double")
+            _secs(F.col("_ts")) - _secs(F.col("_m._matched_ts"))
         ) <= tolerance_seconds
         out = out.withColumn(
             "_m", F.when(in_tol, F.col("_m")).otherwise(F.lit(None).cast(rv_type))

@@ -230,24 +230,35 @@ def dedup_rank_representatives(
 
 
 def connected_components(
-    pairs: DataFrame, a_col: str = "a", b_col: str = "b", max_iters: int = 30
+    pairs: DataFrame, a_col: str = "a", b_col: str = "b",
+    max_iters: int = 50, algorithm: str = "star", stats: dict | None = None,
 ) -> DataFrame:
     """Canonical-document election: connected components over the near-dup
     pair graph, labeling every node with the MIN id reachable from it
     (dedup keeps the min-id doc per component, drops the rest).
 
-    Iterative min-label propagation: each round every node takes the min
-    of its own label and its neighbors' labels; converges in O(diameter)
-    rounds (near-dup components are shallow — template families, mirror
-    sets). Each round is one shuffle over the EDGE list, never documents;
-    ``localCheckpoint`` per round keeps the plan O(1) (same hazard as the
-    tile-tree loop, operators/tiling.py). For adversarial long-chain
-    graphs at 10^12 scale, swap in the large-star/small-star algorithm
-    (Kiveris et al., "Connected Components in MapReduce", SoCC 2014) —
-    O(log n) rounds, same per-round join shape.
+    ``algorithm='star'`` (default) runs alternating large-star/small-star
+    contractions (Kiveris et al., "Connected Components in MapReduce and
+    Beyond", SoCC 2014): O(log n)-ish rounds even on adversarial
+    long-chain graphs, each round one edge-list shuffle — the 10^12-scale
+    path. ``algorithm='label_prop'`` keeps the round-per-hop min-label
+    propagation (O(diameter) rounds; fine for shallow near-dup families).
+    Both raise a warning if ``max_iters`` elapses without convergence
+    instead of silently returning split components (ADVICE r1).
+
+    ``stats``, when given, receives {'rounds': n_rounds_run}.
 
     Returns (node, comp) for every node appearing in ``pairs``.
     """
+    if algorithm == "star":
+        return _cc_star(pairs, a_col, b_col, max_iters, stats)
+    return _cc_label_prop(pairs, a_col, b_col, max_iters, stats)
+
+
+def _cc_label_prop(
+    pairs: DataFrame, a_col: str, b_col: str, max_iters: int,
+    stats: dict | None = None,
+) -> DataFrame:
     from pyspark.sql import functions as F
 
     edges = pairs.select(
@@ -263,6 +274,7 @@ def connected_components(
         .withColumn("comp", F.col("node"))
         .localCheckpoint()
     )
+    rounds = 0
     for _ in range(max_iters):
         nbr_min = (
             edges.join(labels, edges["src"] == labels["node"])
@@ -287,6 +299,119 @@ def connected_components(
             .count()
         )
         labels = new_labels
+        rounds += 1
         if changed == 0:
             break
+    else:
+        import warnings
+
+        warnings.warn(
+            f"connected_components(label_prop) did not converge in "
+            f"{max_iters} rounds; labels may split components",
+            RuntimeWarning,
+        )
+    if stats is not None:
+        stats["rounds"] = rounds
     return labels
+
+
+def _cc_star(
+    pairs: DataFrame, a_col: str, b_col: str, max_iters: int,
+    stats: dict | None = None,
+) -> DataFrame:
+    """Alternating large-star/small-star contraction (SoCC'14).
+
+    Edges are kept canonical as (u, v) with u > v, deduped, self-loops
+    dropped. Per round:
+      large-star: symmetrize; per center a with neighborhood G(a), let
+        m = min(G(a) + {a}); re-link every neighbor b > a to m.
+      small-star: per center u of the (u > v) orientation, let
+        m = min(G(u)); re-link u and every v in G(u) \\ {m} to m.
+    The edge set converges to per-component stars rooted at the min id;
+    each round is a groupBy over edges (never documents) and the edge
+    count never grows. ``localCheckpoint`` per round keeps the plan O(1).
+    """
+    import warnings
+
+    from pyspark.sql import functions as F
+
+    raw = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+    nodes = (
+        raw.select(F.col("src").alias("node"))
+        .unionByName(raw.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+
+    def canon(e):
+        return (
+            e.filter(F.col("src") != F.col("dst"))
+            .select(
+                F.greatest("src", "dst").alias("u"),
+                F.least("src", "dst").alias("v"),
+            )
+            .distinct()
+        )
+
+    edges = canon(raw).localCheckpoint()
+    rounds = 0
+    converged = False
+    for _ in range(max_iters):
+        # ---- large-star -------------------------------------------------
+        sym = edges.select(
+            F.col("u").alias("ctr"), F.col("v").alias("nbr")
+        ).unionByName(
+            edges.select(F.col("v").alias("ctr"), F.col("u").alias("nbr"))
+        )
+        mins = (
+            sym.groupBy("ctr")
+            .agg(F.min("nbr").alias("_mn"))
+            .select("ctr", F.least("_mn", "ctr").alias("m"))
+        )
+        large = (
+            sym.join(mins, "ctr")
+            .filter(F.col("nbr") > F.col("ctr"))
+            .select(F.col("nbr").alias("src"), F.col("m").alias("dst"))
+        )
+        e1 = canon(large).localCheckpoint()
+
+        # ---- small-star -------------------------------------------------
+        smins = e1.groupBy("u").agg(F.min("v").alias("m"))
+        linked = (
+            e1.join(smins, "u")
+            .select(
+                F.col("v").alias("src"), F.col("m").alias("dst"), F.col("u")
+            )
+        )
+        small = linked.select("src", "dst").unionByName(
+            linked.select(F.col("u").alias("src"), F.col("dst"))
+        )
+        e2 = canon(small).localCheckpoint()
+        rounds += 1
+
+        # converged when the canonical edge set is stable across a full
+        # large+small round
+        if (
+            e2.count() == edges.count()
+            and e2.exceptAll(edges).limit(1).count() == 0
+        ):
+            edges = e2
+            converged = True
+            break
+        edges = e2
+
+    if not converged:
+        warnings.warn(
+            f"connected_components(star) did not converge in {max_iters} "
+            f"rounds; labels may split components",
+            RuntimeWarning,
+        )
+    if stats is not None:
+        stats["rounds"] = rounds
+
+    # converged edge set is a star per component: every non-root node has
+    # exactly one (u=node, v=root) edge; roots appear only as v
+    roots = edges.groupBy("u").agg(F.min("v").alias("_c"))
+    return nodes.join(
+        roots, nodes["node"] == roots["u"], "left"
+    ).select("node", F.coalesce("_c", "node").alias("comp"))

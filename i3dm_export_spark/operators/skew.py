@@ -27,7 +27,7 @@ bounded by max_features per tile (operators/knn.py).
 from __future__ import annotations
 
 import pandas as pd
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 TILE_KEY = ("level", "x", "y")
 
@@ -98,8 +98,14 @@ def cluster_tiles_salted(
     key = list(TILE_KEY)
     schema = assigned.schema
 
+    # per-tile size via a window count (one shuffle on the tile key, which
+    # stage 3 already partitioned by — NOT a broadcast of the full per-tile
+    # count table, which is one row per tile and would overflow broadcast
+    # limits at deep-level scale). Only the filtered HOT key set below is
+    # small-by-construction and safe to collect/broadcast.
     counts = assigned.groupBy(*key).agg(F.count(F.lit(1)).alias("_n"))
-    with_n = assigned.join(F.broadcast(counts), key)
+    wkey = Window.partitionBy(*key)
+    with_n = assigned.withColumn("_n", F.count(F.lit(1)).over(wkey))
 
     small = with_n.filter(F.col("_n") <= k).drop("_n")
     warm = with_n.filter((F.col("_n") > k) & (F.col("_n") <= hot_threshold)).drop("_n")

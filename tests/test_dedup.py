@@ -68,3 +68,56 @@ class TestConnectedComponents:
             for r in connected_components(pairs).collect()
         }
         assert got == {1: 1, 9: 1, 4: 1, 7: 1, 20: 20, 30: 20}
+
+    def test_star_equals_label_prop_random_graph(self, spark):
+        """SoCC'14 large-star/small-star must label identically to min-label
+        propagation on a random graph (both = true component minima)."""
+        import numpy as np
+
+        from i3dm_export_spark.operators.dedup import connected_components
+
+        rng = np.random.default_rng(11)
+        n = 400
+        edges = [(int(a), int(b)) for a, b in rng.integers(0, n, (300, 2))]
+        pairs = spark.createDataFrame(edges, "a long, b long")
+        star = {
+            r["node"]: r["comp"]
+            for r in connected_components(pairs, algorithm="star").collect()
+        }
+        prop = {
+            r["node"]: r["comp"]
+            for r in connected_components(
+                pairs, algorithm="label_prop", max_iters=n
+            ).collect()
+        }
+        assert star == prop
+
+    def test_star_chain_converges_in_log_rounds(self, spark):
+        """Adversarial 10^4-node chain: label propagation needs O(n) rounds;
+        the star algorithm must converge in O(log n) and label every node
+        with the chain head (VERDICT r1 item 8)."""
+        import math
+
+        from i3dm_export_spark.operators.dedup import connected_components
+
+        n = 10_000
+        pairs = spark.createDataFrame(
+            [(i, i + 1) for i in range(n - 1)], "a long, b long"
+        ).repartition(8)
+        stats = {}
+        labels = connected_components(pairs, algorithm="star", stats=stats)
+        bad = labels.filter("comp != 0").count()
+        assert bad == 0
+        assert labels.count() == n
+        assert stats["rounds"] <= 4 * math.ceil(math.log2(n))
+
+    def test_label_prop_warns_without_convergence(self, spark):
+        import pytest
+
+        from i3dm_export_spark.operators.dedup import connected_components
+
+        pairs = spark.createDataFrame(
+            [(i, i + 1) for i in range(20)], "a long, b long"
+        )
+        with pytest.warns(RuntimeWarning, match="did not converge"):
+            connected_components(pairs, algorithm="label_prop", max_iters=2)

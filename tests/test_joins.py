@@ -181,3 +181,28 @@ class TestAsofJoin:
         )
         assert out.loc[0, "v"] == 7.0       # 10s old: inside tolerance
         assert pd.isna(out.loc[1, "v"])     # 410s old: outside
+
+
+class TestAsofNtzTolerance:
+    def test_tolerance_on_timestamp_ntz(self, spark):
+        """ADVICE r1: TIMESTAMP_NTZ event logs rejected a direct
+        cast-to-double in the tolerance path; must use the
+        timestamp-bridge cast."""
+        import pandas as pd
+        from pyspark.sql import functions as F
+
+        from i3dm_export_spark.operators.asof import asof_join_backward
+
+        left = spark.createDataFrame(
+            [(0, 1, "2024-01-01 00:01:40"), (1, 1, "2024-01-01 00:08:20")],
+            "id int, k int, t string",
+        ).withColumn("t", F.col("t").cast("timestamp_ntz"))
+        right = spark.createDataFrame(
+            [(1, "2024-01-01 00:01:30", 7.0)], "k int, t string, v double"
+        ).withColumn("t", F.col("t").cast("timestamp_ntz"))
+        out = asof_join_backward(
+            left, right, on=["k"], left_ts="t", right_ts="t",
+            value_cols=["v"], tolerance_seconds=50,
+        ).toPandas().set_index("id")
+        assert out.loc[0, "v"] == 7.0    # 10 s old: inside tolerance
+        assert pd.isna(out.loc[1, "v"])  # 410 s old: outside

@@ -160,3 +160,38 @@ class TestMultiprobeLsh:
             for r in sim.cosine_topk_bruteforce(emb, queries, 4).collect()
         }
         assert got == exact
+
+
+class TestHyperplaneMatmulPath:
+    """VERDICT r1 item 5: the dim-independent Arrow matmul signature path."""
+
+    def test_parity_with_literal_path(self, emb):
+        lit = similarity.hyperplane_signature(emb, 64, 12).select("vec_id", "lsh_sig")
+        mm = (
+            similarity.hyperplane_signature(emb, 64, 12, max_literal_terms=0)
+            .select("vec_id", F.col("lsh_sig").alias("sig_mm"))
+        )
+        assert lit.join(mm, "vec_id").filter("lsh_sig != sig_mm").count() == 0
+
+    def test_plan_size_independent_of_dim(self, emb):
+        import contextlib
+        import io
+
+        wide = emb.withColumn(
+            "embedding", F.flatten(F.array_repeat("embedding", 12))
+        )  # dim 768: literal path would inline 768*16 > 12k coefficient nodes
+        sig = similarity.hyperplane_signature(wide, 768, 16)
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            sig.explain(True)
+        plan = buf.getvalue()
+        assert "ArrowEvalPython" in plan or "PythonUDF" in plan
+        assert len(plan) < 20_000
+
+    def test_wide_dim_signatures_populated(self, emb):
+        wide = emb.withColumn(
+            "embedding", F.flatten(F.array_repeat("embedding", 12))
+        )
+        sig = similarity.hyperplane_signature(wide, 768, 16)
+        n_distinct = sig.select("lsh_sig").distinct().count()
+        assert n_distinct > 1  # real spread, not a constant fallback
