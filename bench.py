@@ -105,7 +105,7 @@ def main() -> None:
         "tile_tree", "leaf_assignment", "knn", "knn_per_tile", "pip_rect",
         "pip_polygon", "range_join",
         "dedup_exact", "minhash_sigs", "lsh_pairs", "simhash",
-        "cosine_topk", "ann_ivf", "text_quality", "text_langid",
+        "cosine_topk", "ann_exact_parity", "text_quality", "text_langid",
         "events_hourly", "cluster_kmeans",
         "media_metadata", "region_revenue", "events_topk_window",
     ):

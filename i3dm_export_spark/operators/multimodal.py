@@ -64,13 +64,15 @@ def media_metadata(df: DataFrame, col: str = "blob") -> DataFrame:
 # ---------------------------------------------------------------------------
 
 def _decode_image_stub(blob: bytes, dim: int) -> np.ndarray:
-    """Deterministic fake 'decode + embed': md5-seeded feature vector.
-    Replace with a real decoder (PIL + model) in a codec-enabled image."""
+    """Deterministic fake 'decode + embed': feature i = (md5-digest byte
+    (i mod 16) + i) mod 256. Deliberately SQL-reproducible so the gate can
+    oracle-check the mapInPandas plumbing (oracles.q_image_features);
+    replace with a real decoder (PIL + model) in a codec-enabled image."""
     if blob is None:
         return np.zeros(dim, dtype=np.float32)
-    seed = int.from_bytes(hashlib.md5(blob).digest()[:8], "little")
-    rng = np.random.default_rng(seed)
-    return rng.standard_normal(dim).astype(np.float32)
+    d = np.frombuffer(hashlib.md5(blob).digest(), np.uint8)
+    idx = np.arange(dim)
+    return ((d[idx % 16].astype(np.int64) + idx) % 256).astype(np.float32)
 
 
 def _resize_image_stub(blob: bytes, width: int, height: int) -> bytes:

@@ -361,7 +361,7 @@ def _sigs_cte(n_bands: int, rows_per_band: int) -> str:
         "FROM sh, hashes GROUP BY doc_id, band, row),\n"
         "sigs AS (SELECT doc_id, band, "
         "STRING_AGG(CAST(row AS VARCHAR) || ':' || mh, '|' "
-        "ORDER BY CAST(row AS VARCHAR) || ':' || mh) AS sig "
+        "ORDER BY row) AS sig "
         "FROM mh GROUP BY doc_id, band)"
     )
 
@@ -645,6 +645,84 @@ def q_near_dup_exact(threshold: float = 0.3) -> str:
         f"ROUND({dot} / ({na} * {nb}), 6) AS cosine "
         "FROM v a, v b WHERE a.vec_id < b.vec_id)\n"
         f"SELECT a, b, cosine FROM p WHERE cosine >= {threshold}"
+    )
+
+
+def q_ann_exact_parity(k: int = 5, n_query: int = 10) -> str:
+    """Both ANN paths in their degenerate-exact configurations (IVF with
+    n_probe == n_lists, LSH with n_planes = 0) reduce to exact top-k, so
+    one brute-force oracle checks codebook assignment, bucket/list joins,
+    and re-rank end to end for both methods."""
+    return (
+        "SELECT m.method, b.query_id, b.neighbor_id, b.rank, b.cosine "
+        f"FROM ({q_cosine_topk(k, n_query)}) b "
+        "CROSS JOIN (VALUES ('ivf'), ('lsh')) m(method)"
+    )
+
+
+def q_ann_recall(k: int = 5, n_query: int = 10) -> str:
+    """Golden expectation for the recall@k gate: every approximate method
+    must clear its documented recall threshold vs the in-engine exact
+    top-k (the engine computes the actual recall; the oracle pins the
+    verdict, k, and query-set size)."""
+    return (
+        f"SELECT method, CAST({k} AS INT) AS k, "
+        f"CAST({n_query} AS INT) AS n_queries, TRUE AS recall_ok "
+        "FROM (VALUES ('ivf'), ('lsh'), ('lsh_multiprobe')) m(method) "
+        "ORDER BY method"
+    )
+
+
+def q_embedding_near_dup(
+    threshold: float = 0.3, dim: int = 64, n_planes: int = 4, seed: int = 42
+) -> str:
+    """Bucketed near-dup pairs with the LSH signature REPRODUCED IN SQL:
+    the oracle derives the same seeded +-1 hyperplanes as
+    operators/similarity.hyperplane_signature and computes each vector's
+    bucket via list_dot_product against plane-coefficient literals, so the
+    bucket-restricted pair semantics (not just the cosine filter) are
+    oracle-checked. Sign threshold dot > 0 in float64 on both sides; +-1
+    coefficients keep dots far from reassociation noise."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    planes = rng.choice([-1.0, 1.0], size=(n_planes, dim))
+    sig_terms = []
+    for p in range(n_planes):
+        coeffs = ", ".join(str(float(c)) for c in planes[p])
+        sig_terms.append(
+            f"(CASE WHEN list_dot_product(e, [{coeffs}]) > 0 "
+            f"THEN {1 << p} ELSE 0 END)"
+        )
+    sig = " + ".join(sig_terms)
+    dot = "list_dot_product(a.e, b.e)"
+    na = "sqrt(list_dot_product(a.e, a.e))"
+    nb = "sqrt(list_dot_product(b.e, b.e))"
+    return (
+        "WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e "
+        "FROM embeddings),\n"
+        f"s AS (SELECT vec_id, e, {sig} AS sig FROM v),\n"
+        "p AS (SELECT a.vec_id AS a, b.vec_id AS b, "
+        f"ROUND({dot} / ({na} * {nb}), 6) AS cosine "
+        "FROM s a JOIN s b ON a.sig = b.sig AND a.vec_id < b.vec_id)\n"
+        f"SELECT a, b, cosine FROM p WHERE cosine >= {threshold}"
+    )
+
+
+def q_image_features(dim: int = 16) -> str:
+    """Deterministic stub 'decode': feature i = (md5-digest byte (i mod 16)
+    + i) mod 256 — SQL-expressible (hex-nibble arithmetic over md5), so the
+    codec-seam plumbing (mapInPandas batching, schema, null handling) is
+    oracle-checked even though the 'decode' is a documented fake."""
+    b1 = "strpos('0123456789abcdef', substr(h, 2 * (feature_index % 16) + 1, 1)) - 1"
+    b2 = "strpos('0123456789abcdef', substr(h, 2 * (feature_index % 16) + 2, 1)) - 1"
+    return (
+        f"WITH {_MEDIA_CTE},\n"
+        "hm AS (SELECT media_id, md5(blob_str) AS h FROM media),\n"
+        f"idx AS (SELECT CAST(p AS INT) AS feature_index FROM range({dim}) r(p))\n"
+        "SELECT media_id, feature_index, "
+        f"CAST((({b1}) * 16 + ({b2}) + feature_index) % 256 AS DOUBLE) AS feature "
+        "FROM hm CROSS JOIN idx"
     )
 
 
