@@ -213,9 +213,30 @@ def copy_external_textures(
     """Copy each collected texture into the output directory once —
     dedupes across models via ``copied_destinations`` and never overwrites
     an existing file (reference CopyExternalTextures/CopyTextureIfMissing).
-    Returns destinations actually written."""
+    Returns destinations actually written.
+
+    When two models collect the same texture FILE NAME,
+    :func:`resolve_relative_uri` rewrites those image URIs to
+    ``textures/_shared/<file>`` — so that destination must exist too:
+    the lexicographically-first source for each ambiguous basename is
+    additionally copied there (deterministic pick; the reference reaches
+    the same state through SharpGLTF's satellite-file write,
+    src/GPUTileHandler.cs:35)."""
+    copy_list = sorted(external_textures.items())
+    by_name: dict[str, list[tuple[str, str]]] = {}
+    for source, rel in copy_list:
+        by_name.setdefault(os.path.basename(source).lower(), []).append(
+            (source, rel)
+        )
+    for pairs in by_name.values():
+        if len({rel for _, rel in pairs}) > 1:
+            src = pairs[0][0]
+            copy_list.append(
+                (src, f"textures/_shared/{os.path.basename(src)}")
+            )
+
     written: list[str] = []
-    for source, rel in sorted(external_textures.items()):
+    for source, rel in copy_list:
         destination = os.path.join(output_directory, rel)
         if copied_destinations is not None:
             if destination in copied_destinations:

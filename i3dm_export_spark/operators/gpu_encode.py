@@ -13,9 +13,11 @@ SCALE accessors:
   — src/GPUTileHandler.cs:275-277;
 * per-instance feature ids + a string-typed property table from the tags
   (EXT_instance_features / EXT_structural_metadata,
-  src/GPUTileHandler.cs:285-327) — represented here as the feature-id
-  accessor plus a JSON metadata extras block (full binary property-table
-  encoding is glTF-spec mechanical work, tracked for a later round).
+  src/GPUTileHandler.cs:106-112,285-327) — encoded BINARY per the
+  EXT_structural_metadata spec: per property a values bufferView
+  (concatenated UTF-8) + a UINT32 stringOffsets bufferView in the BIN
+  chunk, schema id 'schema' / class 'propertyTable', all-empty
+  properties skipped, feature ids linked via EXT_instance_features.
 
 The glb container (header + JSON chunk + BIN chunk) is written by hand —
 no glTF library exists in this container. The mesh itself is a stub node
@@ -111,6 +113,35 @@ def build_gpu_glb(
     a_scale = add_accessor(scale_arr, "VEC3")
     a_feat = add_accessor(feature_ids, "SCALAR")
 
+    def add_view(data: bytes) -> int:
+        offset = sum(len(p) for p in bin_parts)
+        views.append(
+            {"buffer": 0, "byteOffset": offset, "byteLength": len(data)}
+        )
+        bin_parts.append(_pad4(data, b"\x00"))
+        return len(views) - 1
+
+    # EXT_structural_metadata: STRING-typed property table encoded into the
+    # BIN chunk (values bytes + UINT32 string offsets per property), schema
+    # id 'schema' / class 'propertyTable', properties whose values are all
+    # empty skipped — reference src/GPUTileHandler.cs:106-112,285-327
+    pt_properties: dict = {}
+    if tags_json is not None:
+        for name, vals in json.loads(tags_json).items():
+            strs = ["" if v is None else str(v) for v in vals]
+            if all(s == "" for s in strs):
+                continue
+            encoded = [s.encode("utf-8") for s in strs]
+            offsets = np.zeros(len(encoded) + 1, np.uint32)
+            offsets[1:] = np.cumsum([len(b) for b in encoded])
+            v_values = add_view(b"".join(encoded))
+            v_offsets = add_view(offsets.tobytes())
+            pt_properties[name] = {
+                "values": v_values,
+                "stringOffsets": v_offsets,
+                "stringOffsetType": "UINT32",
+            }
+
     buffer_bytes = b"".join(bin_parts)
 
     node_ext = {
@@ -123,9 +154,17 @@ def build_gpu_glb(
             }
         }
     }
+    extensions_used = ["EXT_mesh_gpu_instancing"]
+    if pt_properties:
+        extensions_used += ["EXT_structural_metadata", "EXT_instance_features"]
+        node_ext["EXT_instance_features"] = {
+            "featureIds": [
+                {"featureCount": n, "attribute": 0, "propertyTable": 0}
+            ]
+        }
     gltf = {
         "asset": {"version": "2.0", "generator": "i3dm_export_spark"},
-        "extensionsUsed": ["EXT_mesh_gpu_instancing"],
+        "extensionsUsed": extensions_used,
         "scene": 0,
         "scenes": [{"nodes": [0]}],
         "nodes": [{"name": "instances", "extensions": node_ext}],
@@ -134,8 +173,29 @@ def build_gpu_glb(
         "accessors": accessors,
         "extras": {"rtcCenter": [float(v) for v in geo.to_y_up(rtc[None, :])[0]]},
     }
-    if tags_json is not None:
-        gltf["extras"]["propertyTable"] = json.loads(tags_json)
+    if pt_properties:
+        gltf["extensions"] = {
+            "EXT_structural_metadata": {
+                "schema": {
+                    "id": "schema",
+                    "classes": {
+                        "propertyTable": {
+                            "properties": {
+                                name: {"type": "STRING"}
+                                for name in pt_properties
+                            }
+                        }
+                    },
+                },
+                "propertyTables": [
+                    {
+                        "class": "propertyTable",
+                        "count": n,
+                        "properties": pt_properties,
+                    }
+                ],
+            }
+        }
 
     jbytes = _pad4(json.dumps(gltf, separators=(",", ":")).encode(), b" ")
     bbytes = _pad4(buffer_bytes, b"\x00")
@@ -164,6 +224,29 @@ def parse_glb(data: bytes):
         assert btype == b"BIN\x00"
         bin_chunk = data[off + 8 : off + 8 + blen]
     return gltf, bin_chunk
+
+
+def read_property_table(gltf: dict, bin_chunk: bytes) -> dict:
+    """Round-trip reader for tests: decode the EXT_structural_metadata
+    STRING property table back to {property: [str, ...]}."""
+    ext = (gltf.get("extensions") or {}).get("EXT_structural_metadata")
+    if not ext:
+        return {}
+    pt = ext["propertyTables"][0]
+    out: dict = {}
+    for name, p in pt["properties"].items():
+        vv = gltf["bufferViews"][p["values"]]
+        ov = gltf["bufferViews"][p["stringOffsets"]]
+        data = bin_chunk[vv["byteOffset"] : vv["byteOffset"] + vv["byteLength"]]
+        offs = np.frombuffer(
+            bin_chunk[ov["byteOffset"] : ov["byteOffset"] + ov["byteLength"]],
+            np.uint32,
+        )
+        out[name] = [
+            data[offs[i] : offs[i + 1]].decode("utf-8")
+            for i in range(pt["count"])
+        ]
+    return out
 
 
 def encode_gpu_tile_pdf(

@@ -131,6 +131,28 @@ class TestExternalTextures:
         glbtools.configure_external_texture_uris(g1, ext)
         assert g1["images"][0]["uri"] == "textures/_shared/wood.png"
 
+    def test_shared_destination_actually_copied(self, tmp_path):
+        """ADVICE r1 (medium): URIs resolved to textures/_shared/<file>
+        must not dangle — the copy step must write that destination."""
+        import os
+
+        p1, g1 = self._model(tmp_path, "oak")
+        p2, g2 = self._model(tmp_path, "pine")
+        ext: dict[str, str] = {}
+        glbtools.collect_external_textures(ext, p1, g1)
+        glbtools.collect_external_textures(ext, p2, g2)
+        glbtools.configure_external_texture_uris(g1, ext)
+        glbtools.configure_external_texture_uris(g2, ext)
+        out = tmp_path / "out"
+        glbtools.copy_external_textures(str(out), ext)
+        for g in (g1, g2):
+            uri = g["images"][0]["uri"]
+            assert os.path.exists(out / uri), uri
+        # deterministic pick: lexicographically-first source wins
+        shared = (out / "textures" / "_shared" / "wood.png").read_bytes()
+        first_src = sorted(ext)[0]
+        assert shared == open(first_src, "rb").read()
+
     def test_data_uri_ignored(self, tmp_path):
         gltf = {"asset": {"version": "2.0"},
                 "images": [{"uri": "data:image/png;base64,AAAA"}]}

@@ -108,3 +108,59 @@ class TestGpuGlb:
         with open(files[0], "rb") as f:
             gltf, _ = gpu_encode.parse_glb(f.read())
         assert "EXT_mesh_gpu_instancing" in gltf["extensionsUsed"]
+
+
+class TestBinaryPropertyTable:
+    """K2 parity: EXT_structural_metadata STRING property table in the BIN
+    chunk (reference src/GPUTileHandler.cs:106-112,285-327)."""
+
+    def _glb(self, tags_json):
+        import numpy as np
+
+        from i3dm_export_spark.operators import gpu_encode as g
+
+        n = 3
+        return g.build_gpu_glb(
+            np.array([[4.0, 52.0, 0.0], [4.001, 52.0, 0.0], [4.0, 52.001, 0.0]]),
+            np.zeros(3), np.zeros(3), np.zeros(3),
+            keep_projection=True, tags_json=tags_json,
+        )
+
+    def test_roundtrip_values(self):
+        import json
+
+        from i3dm_export_spark.operators import gpu_encode as g
+
+        tags = json.dumps({"customer": ["a", "bb", "ccc"],
+                           "id": ["1", "2", "3"]})
+        gltf, bin_chunk = g.parse_glb(self._glb(tags))
+        assert "EXT_structural_metadata" in gltf["extensionsUsed"]
+        assert "EXT_instance_features" in gltf["extensionsUsed"]
+        md = gltf["extensions"]["EXT_structural_metadata"]
+        assert md["schema"]["id"] == "schema"
+        cls = md["schema"]["classes"]["propertyTable"]["properties"]
+        assert cls == {"customer": {"type": "STRING"}, "id": {"type": "STRING"}}
+        assert md["propertyTables"][0]["count"] == 3
+        pt = g.read_property_table(gltf, bin_chunk)
+        assert pt == {"customer": ["a", "bb", "ccc"], "id": ["1", "2", "3"]}
+        feats = gltf["nodes"][0]["extensions"]["EXT_instance_features"]
+        assert feats["featureIds"][0] == {
+            "featureCount": 3, "attribute": 0, "propertyTable": 0
+        }
+
+    def test_all_empty_property_skipped_and_unicode(self):
+        import json
+
+        from i3dm_export_spark.operators import gpu_encode as g
+
+        tags = json.dumps({"empty": ["", "", ""], "city": ["Delft", "Γλυφάδα", ""]})
+        gltf, bin_chunk = g.parse_glb(self._glb(tags))
+        pt = g.read_property_table(gltf, bin_chunk)
+        assert pt == {"city": ["Delft", "Γλυφάδα", ""]}
+
+    def test_no_tags_no_metadata_extension(self):
+        from i3dm_export_spark.operators import gpu_encode as g
+
+        gltf, bin_chunk = g.parse_glb(self._glb(None))
+        assert "EXT_structural_metadata" not in gltf.get("extensionsUsed", [])
+        assert g.read_property_table(gltf, bin_chunk) == {}
