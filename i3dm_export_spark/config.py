@@ -30,6 +30,11 @@ class ExportOptions:
     use_gpu_instancing: bool = False
     # reference --keep_projection (src/Options.cs:40-41)
     keep_projection: bool = False
+    # source CRS of the input x/y columns (reference probes ST_SRID and
+    # reprojects in-scan, src/SpatialReferenceRepository.cs:6-12,
+    # src/InstancesRepository.cs:42,52); under keep_projection the source
+    # coordinates pass through untransformed, matching the reference
+    source_epsg: int = 4326
     # reference --use_scale_non_uniform (src/Options.cs:34-35)
     use_scale_non_uniform: bool = False
     # reference --use_external_model (src/Options.cs:48-49)

@@ -109,7 +109,18 @@ def run_export(
     spark = pages.sparkSession
     ckpt = CheckpointManager(spark, checkpoint_dir or os.path.join(output_dir, "_checkpoints"))
 
-    inst = ckpt.run_stage("stage0_instances", lambda: stage0_instances(pages))
+    def _stage0():
+        inst = stage0_instances(pages)
+        # S1: arbitrary source-EPSG ingest — reproject to WGS84 lon/lat at
+        # the scan boundary (reference ST_Transform-in-scan semantics);
+        # keep_projection passes source coordinates through untouched
+        if opts.source_epsg != 4326 and not opts.keep_projection:
+            from ..functions.crs import reproject_to_wgs84
+
+            inst = reproject_to_wgs84(inst, opts.source_epsg)
+        return inst
+
+    inst = ckpt.run_stage("stage0_instances", _stage0)
 
     if bounds is None:
         bounds = extent.compute_bounds(
