@@ -209,3 +209,41 @@ class TestPrepareModels:
         g, _ = glbtools.parse_glb(prepared["box.glb"])
         assert "matrix" not in g["nodes"][0]  # no rotation applied
         assert external == {}
+
+
+class TestMultipleScenes:
+    """Reference TileHandlerTests MultipleScenes fixture parity: every
+    scene's root nodes get the keep_projection base rotation, and the glb
+    container round-trips unchanged otherwise."""
+
+    def test_rotation_applies_to_all_scenes(self):
+        import numpy as np
+
+        gltf = {
+            "asset": {"version": "2.0"},
+            "scene": 0,
+            "scenes": [{"nodes": [0]}, {"nodes": [1]}],
+            "nodes": [
+                {"name": "a"},
+                {"name": "b", "translation": [1.0, 2.0, 3.0]},
+                {"name": "child"},
+            ],
+            "buffers": [{"byteLength": 4}],
+        }
+        glb = glbtools.write_glb(gltf, b"\x00\x00\x00\x00")
+        out, bin_chunk = glbtools.parse_glb(
+            glbtools.rotate_model_for_cartesian(glb)
+        )
+        assert bin_chunk == b"\x00\x00\x00\x00"
+        # both scene roots now carry a matrix; the non-root node is untouched
+        assert "matrix" in out["nodes"][0]
+        assert "matrix" in out["nodes"][1]
+        assert "matrix" not in out["nodes"][2]
+        # node b's translation folded into the matrix (last row x/y/z)
+        m_b = np.array(out["nodes"][1]["matrix"]).reshape(4, 4)
+        assert not np.allclose(m_b, np.eye(4))
+        assert "translation" not in out["nodes"][1]
+        # rotation part is rotX(-90)*rotZ(180): v*M maps +Z -> -Y
+        m_a = np.array(out["nodes"][0]["matrix"]).reshape(4, 4)
+        v = np.array([0.0, 0.0, 1.0, 0.0]) @ m_a
+        assert np.allclose(v[:3], [0.0, -1.0, 0.0], atol=1e-6)
