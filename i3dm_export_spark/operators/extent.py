@@ -48,6 +48,61 @@ def compute_bounds(
     )
 
 
+def bounds_from_parquet_stats(
+    path: str | list[str],
+    heights: tuple[float, float] = (0.0, 10.0),
+    lon: str = "lon",
+    lat: str = "lat",
+    z: str = "z",
+    clamp: bool = True,
+) -> Bounds | None:
+    """Extent from parquet FOOTER statistics — zero data rows read.
+
+    Parquet (and Iceberg manifests, which carry the same per-file column
+    bounds) stores exact min/max for double columns per row group; at
+    100 TB the extent is therefore a metadata-only walk instead of a full
+    scan, removing one of the export's full passes over the input.
+    Returns None when any row group lacks stats (caller falls back to
+    :func:`compute_bounds`). Same inflation/clamp/degeneracy pipeline as
+    the scan path — parity-tested to produce identical Bounds.
+    """
+    import pyarrow.dataset as pads
+
+    if isinstance(path, (list, tuple)):
+        path = [p.removeprefix("file:") for p in path]
+    else:
+        path = path.removeprefix("file:")
+    try:
+        dataset = pads.dataset(path, format="parquet")
+    except Exception:
+        return None
+    want = {lon: [None, None], lat: [None, None], z: [None, None]}
+    n_groups = 0
+    for frag in dataset.get_fragments():
+        md = frag.metadata
+        schema_names = [md.schema.column(i).path for i in range(md.num_columns)]
+        idx = {c: schema_names.index(c) for c in want if c in schema_names}
+        if len(idx) != len(want):
+            return None
+        for rg in range(md.num_row_groups):
+            group = md.row_group(rg)
+            if group.num_rows == 0:
+                continue
+            n_groups += 1
+            for col, (lo, hi) in want.items():
+                stats = group.column(idx[col]).statistics
+                if stats is None or not stats.has_min_max:
+                    return None
+                want[col][0] = stats.min if lo is None else min(lo, stats.min)
+                want[col][1] = stats.max if hi is None else max(hi, stats.max)
+    if n_groups == 0 or want[lon][0] is None:
+        return None
+    return derive_root_bounds(
+        want[lon][0], want[lat][0], want[lon][1], want[lat][1],
+        want[z][0], want[z][1], heights, clamp,
+    )
+
+
 def derive_root_bounds(
     xmin: float, ymin: float, xmax: float, ymax: float,
     zmin: float, zmax: float,

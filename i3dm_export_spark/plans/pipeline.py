@@ -100,6 +100,7 @@ def run_export(
     subtree_levels: int = 2,
     write_content: bool = True,
     model_glbs: dict | None = None,
+    text_invariant: str = "agg",
 ) -> dict:
     """Full export. Returns a summary dict (tiles/subtree counts, metrics).
 
@@ -123,10 +124,21 @@ def run_export(
     inst = ckpt.run_stage("stage0_instances", _stage0)
 
     if bounds is None:
-        bounds = extent.compute_bounds(
-            inst, heights=opts.boundingvolume_heights, query=opts.query,
-            clamp=not opts.keep_projection,
-        )
+        # prefer the metadata-only extent (parquet/Iceberg footer stats —
+        # zero data rows read, removes one full pass at 100 TB); only valid
+        # when no predicate filters rows and coordinates are already 4326
+        if not opts.query and opts.source_epsg == 4326:
+            files = pages.inputFiles()
+            if files:
+                bounds = extent.bounds_from_parquet_stats(
+                    list(files), heights=opts.boundingvolume_heights,
+                    clamp=not opts.keep_projection,
+                )
+        if bounds is None:
+            bounds = extent.compute_bounds(
+                inst, heights=opts.boundingvolume_heights, query=opts.query,
+                clamp=not opts.keep_projection,
+            )
 
     encoded = ckpt.run_stage("stage1_encoded", lambda: stage1_encode(inst))
 
@@ -238,13 +250,42 @@ def run_export(
     with open(os.path.join(output_dir, "tileset.json"), "w") as f:
         f.write(ts_json)
 
-    # per-row invariant: byte-identical text per url across checkpoints
-    fp0 = inst.select("url", "text_fp")
-    fp1 = ckpt.read("stage3_assigned").select("url", "text_fp").distinct()
-    broken = fp0.join(fp1, "url").filter(
-        fp0["text_fp"] != fp1["text_fp"]
-    )
-    n_broken = broken.count()
+    # per-row invariant: byte-identical text per url across checkpoints.
+    # 'agg' compares order-insensitive (count, bit_xor, sum) fingerprints of
+    # the (url, text_fp) pair set — two scans, NO join shuffle, the 100 TB
+    # default; 'full' does the exact per-row join; 'off' skips.
+    n_broken = 0
+    if text_invariant != "off":
+        fp0 = inst
+        if opts.query:
+            fp0 = fp0.filter(F.expr(opts.query))  # stage 3 applies the same
+        fp0 = fp0.select("url", "text_fp")
+        fp1 = ckpt.read("stage3_assigned").select("url", "text_fp").distinct()
+
+        def _full_join_count():
+            return (
+                fp0.join(fp1, "url")
+                .filter(fp0["text_fp"] != fp1["text_fp"])
+                .count()
+            )
+
+        if text_invariant == "full":
+            n_broken = _full_join_count()
+        else:
+            def _fingerprint(df):
+                # two independent order-insensitive XOR digests + count
+                # (a sum would overflow under ANSI semantics)
+                return df.agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.expr("bit_xor(xxhash64(url, text_fp))").alias("x"),
+                    F.expr("bit_xor(xxhash64(url, text_fp, 7919))").alias("s"),
+                ).collect()[0]
+
+            a, b = _fingerprint(fp0), _fingerprint(fp1)
+            if (a["n"], a["x"], a["s"]) != (b["n"], b["x"], b["s"]):
+                # escalate to the exact per-row diagnosis (bounds-clipped
+                # inputs legitimately shrink stage 3; the join localizes)
+                n_broken = _full_join_count()
 
     return {
         "n_instances": inst.count(),

@@ -52,7 +52,9 @@ spark = get_spark(app_name=f"scaling_{{cpus}}", master=f"local[{{cpus}}]",
 pages = spark.read.parquet({stage_dir!r})
 n = pages.count()  # warms file listing; data itself is read per stage
 t0 = time.perf_counter()
-bounds = extent.compute_bounds(pages)
+# metadata-only extent (parquet footer stats), the engine's real path for
+# stats-bearing sources; falls back to the full-scan agg if stats missing
+bounds = extent.bounds_from_parquet_stats({stage_dir!r}) or extent.compute_bounds(pages)
 opts = ExportOptions(max_features_per_tile={max_features}, max_level=14, use_i3dm=True)
 tree = tiling.build_tile_tree(pages, bounds, opts, n_estimate=n)
 assigned = tiling.assign_to_content_tiles(pages, tree, opts)

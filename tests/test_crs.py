@@ -150,3 +150,36 @@ class TestSparkIngest:
         t2 = duckdb.sql(q.format(tmp_path / "proj")).df()
         assert t1.equals(t2)
         assert s_base["n_tiles_recorded"] == s_proj["n_tiles_recorded"]
+
+
+class TestStatsBounds:
+    """Metadata-only extent (parquet footer stats) parity with the scan."""
+
+    def test_stats_bounds_match_scan(self, spark, tmp_path):
+        from i3dm_export_spark.operators import extent
+        from i3dm_export_spark.sources.pages import pages_df
+
+        p = str(tmp_path / "pages")
+        pages_df(spark, 2000, scenario="A").write.parquet(p)
+        df = spark.read.parquet(p)
+        b_scan = extent.compute_bounds(df)
+        b_stats = extent.bounds_from_parquet_stats(p)
+        assert b_stats == b_scan
+        # file-list form with file: URIs (what run_export passes)
+        assert extent.bounds_from_parquet_stats(list(df.inputFiles())) == b_scan
+
+    def test_export_bounds_identical_from_stats_path(self, spark, tmp_path):
+        from i3dm_export_spark.config import ExportOptions
+        from i3dm_export_spark.operators import extent
+        from i3dm_export_spark.plans import pipeline
+        from i3dm_export_spark.sources.pages import pages_df
+
+        p = str(tmp_path / "in")
+        pages_df(spark, 300, scenario="A").write.parquet(p)
+        df = spark.read.parquet(p)
+        s = pipeline.run_export(
+            df, ExportOptions(max_features_per_tile=100, max_level=8),
+            str(tmp_path / "out"), write_content=False,
+        )
+        b_scan = extent.compute_bounds(df)
+        assert tuple(s["bounds"]) == tuple(b_scan.bbox)

@@ -156,3 +156,19 @@ class TestDistributedSinks:
         s = pipeline.run_export(pages, opts, str(tmp_path / "exp_gate"))
         assert s["n_content_tiles"] > 0
         assert s["n_subtree_files"] >= 1
+
+
+class TestTextInvariantModes:
+    def test_full_join_mode_agrees_with_agg(self, spark, tmp_path):
+        pages = pages_df(spark, 300, scenario="A")
+        opts = ExportOptions(max_features_per_tile=100, max_level=8)
+        s_full = pipeline.run_export(
+            pages, opts, str(tmp_path / "f"), write_content=False,
+            text_invariant="full",
+        )
+        s_agg = pipeline.run_export(
+            pages, opts, str(tmp_path / "a"), write_content=False,
+            text_invariant="agg",
+        )
+        assert s_full["text_invariant_violations"] == 0
+        assert s_agg["text_invariant_violations"] == 0
