@@ -99,6 +99,30 @@ def main() -> None:
     extras["gpu_instances_per_sec"] = round(n_instances / dt, 1)
     extras["gpu_content_tiles"] = gpu_tiles
 
+    # ---- full run_export incl. distributed file sinks (K1/K3/K4) ----------
+    # the complete product path: checkpointed stages + executor-side
+    # content/subtree writes + tileset.json; measures that the distributed
+    # sink sustains export throughput (VERDICT r1 item 1 done-criterion)
+    import shutil
+
+    e2e_dir = tempfile.mkdtemp(prefix="bench_e2e_")
+    from i3dm_export_spark.config import ExportOptions as _EO
+    from i3dm_export_spark.plans.pipeline import run_export
+
+    t0 = time.perf_counter()
+    summary = run_export(
+        pages,
+        _EO(max_features_per_tile=1000, max_level=14, use_i3dm=True),
+        e2e_dir,
+        subtree_levels=2,
+    )
+    dt = time.perf_counter() - t0
+    timings["export_e2e_sinks"] = round(dt, 3)
+    extras["e2e_instances_per_sec"] = round(n_instances / dt, 1)
+    extras["e2e_content_files"] = summary["n_content_tiles"]
+    extras["e2e_subtree_files"] = summary["n_subtree_files"]
+    shutil.rmtree(e2e_dir, ignore_errors=True)
+
     # ---- operator queries at the sf dir ------------------------------------
     qs = entry.queries()
     for name in (

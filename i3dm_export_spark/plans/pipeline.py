@@ -45,7 +45,11 @@ def stage0_instances(pages: DataFrame) -> DataFrame:
     """Project the tiling-relevant columns; html/text stay out of every
     downstream shuffle. text_fp pins the byte-identical-text invariant."""
     cols = [c for c in INSTANCE_COLS if c in pages.columns or c == "text_fp"]
-    out = pages.withColumn("text_fp", F.xxhash64(F.col("text")))
+    # idempotent: accept already-projected instances (text_fp precomputed)
+    if "text_fp" in pages.columns:
+        out = pages
+    else:
+        out = pages.withColumn("text_fp", F.xxhash64(F.col("text")))
     missing_defaults = {
         "z": F.lit(0.0), "scale": F.lit(1.0), "yaw": F.lit(0.0),
         "pitch": F.lit(0.0), "roll": F.lit(0.0),
