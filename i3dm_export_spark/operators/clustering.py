@@ -103,16 +103,30 @@ def minibatch_kmeans_labels(
 
 
 def reduce_tile(pdf: pd.DataFrame, k: int, seed: int = 42,
-                order_col: str = "url") -> pd.DataFrame:
+                order_col: str = "url", use_ecef: bool = True) -> pd.DataFrame:
     """Reference reduction: cluster, then first row (stable order) per label,
     stopping at k (src/TileClustering.cs:29-43). Returns exactly
-    min(k, n) rows."""
+    min(k, n) rows.
+
+    The clustering metric matches the reference's fetch CRS: ECEF meters
+    normally (computed in-group from lon/lat when stage 1 didn't
+    precompute it — identical float64 kernel, so members are identical),
+    raw source coordinates under keep_projection (``use_ecef=False``)."""
     if len(pdf) <= k:
         return pdf
     pdf = pdf.sort_values(order_col, kind="mergesort").reset_index(drop=True)
-    pts = pdf[["x_ecef", "y_ecef", "z_ecef"]].to_numpy() if "x_ecef" in pdf else (
-        pdf[["lon", "lat", "z"]].to_numpy()
-    )
+    if "x_ecef" in pdf:
+        pts = pdf[["x_ecef", "y_ecef", "z_ecef"]].to_numpy()
+    elif use_ecef:
+        from ..functions.geodesy import wgs84_to_ecef
+
+        pts = wgs84_to_ecef(
+            pdf["lon"].to_numpy(np.float64),
+            pdf["lat"].to_numpy(np.float64),
+            pdf["z"].to_numpy(np.float64),
+        )
+    else:
+        pts = pdf[["lon", "lat", "z"]].to_numpy()
     labels = minibatch_kmeans_labels(pts, k, seed=seed)
     first_per_label = pd.Series(labels, name="_label").to_frame()
     keep_idx = first_per_label.drop_duplicates("_label").index[:k]
@@ -140,8 +154,11 @@ def cluster_tiles(assigned, opts, order_col: str = "url"):
 
     schema = assigned.schema
 
+    use_ecef = not opts.keep_projection
+
     def _reduce(pdf: pd.DataFrame) -> pd.DataFrame:
-        return reduce_tile(pdf, k, seed=seed, order_col=order_col)
+        return reduce_tile(pdf, k, seed=seed, order_col=order_col,
+                           use_ecef=use_ecef)
 
     reduced = hot.groupBy("level", "x", "y").applyInPandas(_reduce, schema=schema)
     return small.unionByName(reduced)

@@ -111,8 +111,11 @@ def cluster_tiles_salted(
     warm = with_n.filter((F.col("_n") > k) & (F.col("_n") <= hot_threshold)).drop("_n")
     hot = with_n.filter(F.col("_n") > hot_threshold).drop("_n")
 
+    use_ecef = not opts.keep_projection
+
     def _reduce(pdf: pd.DataFrame) -> pd.DataFrame:
-        return reduce_tile(pdf, k, seed=seed, order_col=order_col)
+        return reduce_tile(pdf, k, seed=seed, order_col=order_col,
+                           use_ecef=use_ecef)
 
     warm_reduced = warm.groupBy(*key).applyInPandas(_reduce, schema=schema)
 

@@ -144,7 +144,13 @@ def run_export(
                 clamp=not opts.keep_projection,
             )
 
-    encoded = ckpt.run_stage("stage1_encoded", lambda: stage1_encode(inst))
+    if opts.precompute_ecef:
+        encoded = ckpt.run_stage("stage1_encoded", lambda: stage1_encode(inst))
+    else:
+        # fused: ECEF is computed inside the per-tile encoder / reducer from
+        # the same float64 kernel (byte-identical payloads, parity-tested);
+        # skips a full-width materialization + one full input pass
+        encoded = inst
 
     # stage 2: tile tree (tiny output; checkpointed as a table)
     tree_df = ckpt.run_stage(

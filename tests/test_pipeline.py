@@ -94,8 +94,11 @@ class TestResume:
         opts = ExportOptions(max_features_per_tile=100, max_level=10)
         s = pipeline.run_export(pages, opts, str(tmp_path / "exp2"))
         stages = {m["stage"] for m in s["stage_metrics"]}
-        assert {"stage0_instances", "stage1_encoded", "stage2_tiles",
-                "stage3_assigned", "stage4_payloads"} <= stages
+        assert {"stage0_instances", "stage2_tiles",
+                "stage3_assigned", "stage4_payloads",
+                "stage5_subtrees"} <= stages
+        # stage 1 is opt-in (fused default computes ECEF in the encoder)
+        assert "stage1_encoded" not in stages
         for m in s["stage_metrics"]:
             assert m["n_rows"] > 0
             assert m["n_bytes"] > 0
@@ -172,3 +175,27 @@ class TestTextInvariantModes:
         )
         assert s_full["text_invariant_violations"] == 0
         assert s_agg["text_invariant_violations"] == 0
+
+
+class TestFusedVsPrecomputedEcef:
+    def test_payloads_byte_identical(self, spark, tmp_path):
+        """precompute_ecef=True (stage-1 checkpoint) and the fused default
+        must write byte-identical tile payloads — same ECEF float64 kernel
+        either way, including the clustering metric."""
+        import duckdb
+
+        pages = pages_df(spark, 1500, scenario="A")
+        for name, pre in (("fused", False), ("pre", True)):
+            opts = ExportOptions(
+                max_features_per_tile=100, max_level=10, use_i3dm=True,
+                use_clustering=True, precompute_ecef=pre,
+            )
+            pipeline.run_export(
+                pages, opts, str(tmp_path / name), write_content=False
+            )
+        q = ("select level, x, y, md5(base64(payload)) h from parquet_scan('{}/"
+             "_checkpoints/stage4_payloads/*.parquet') order by 1,2,3")
+        a = duckdb.sql(q.format(tmp_path / "fused")).df()
+        b = duckdb.sql(q.format(tmp_path / "pre")).df()
+        assert a.equals(b)
+        assert len(a) > 0
