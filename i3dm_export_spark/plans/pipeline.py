@@ -125,7 +125,20 @@ def run_export(
             inst = reproject_to_wgs84(inst, opts.source_epsg)
         return inst
 
-    inst = ckpt.run_stage("stage0_instances", _stage0)
+    # when the input is ALREADY a durable, fully-projected instance table
+    # (parquet/Iceberg files with every INSTANCE_COL incl. text_fp and no
+    # reprojection pending), a stage-0 checkpoint would be a byte copy of
+    # the source — the source itself is the durable resume point, so skip
+    # the extra full-width write+read
+    _preprojected = (
+        set(INSTANCE_COLS) <= set(pages.columns)
+        and (opts.source_epsg == 4326 or opts.keep_projection)
+        and bool(pages.inputFiles())
+    )
+    if _preprojected:
+        inst = pages.select(*INSTANCE_COLS)
+    else:
+        inst = ckpt.run_stage("stage0_instances", _stage0)
 
     if bounds is None:
         # prefer the metadata-only extent (parquet/Iceberg footer stats —
