@@ -1,0 +1,183 @@
+"""EP1: the user-facing CLI, flag-compatible with the reference.
+
+The reference's only entry point is ``i3dm.export -c <connection> -t
+<table> [...]`` (src/Program.cs:19-27, src/Options.cs:5-55). This CLI
+keeps every reference flag with identical names/defaults; ``-c`` is the
+input location (a parquet/Iceberg table path or directory) instead of a
+PostGIS connection string, and ``-t`` the table (sub-path) under it.
+
+Input schema: lon/lat[/z] columns, or a WKB point column named by
+``--geometrycolumn`` (decoded in an Arrow batch, reference
+src/InstancesRepository.cs:42 ``ST_AsBinary``); yaw/pitch/roll, or the
+legacy ``rotation`` fallback (src/InstancesRepository.cs:142-159).
+
+Run: ``python -m i3dm_export_spark -c /data/instances -o ./out --use_i3dm``
+or via ``spark-submit --py-files $(python -c 'from i3dm_export_spark.
+packaging import build_pyfiles_zip; print(build_pyfiles_zip())')``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+import pandas as pd  # module-level: pandas-UDF type hints resolve from here
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="i3dm_export_spark",
+        description="PySpark-native i3dm.export: instanced 3D Tiles from a "
+        "geocoded instance table",
+    )
+    # ---- reference flags (src/Options.cs), same names and defaults ----
+    p.add_argument("-c", "--connection", required=True,
+                   help="input table location (parquet/Iceberg path)")
+    p.add_argument("-t", "--table", default="",
+                   help="table (sub-path) under the connection location")
+    p.add_argument("--geometrycolumn", default="geom",
+                   help="WKB point column (used when lon/lat absent)")
+    p.add_argument("-g", "--geometricerror", type=float, default=1000.0)
+    p.add_argument("-o", "--output", default="./output")
+    p.add_argument("--boundingvolume_heights", default="0,10",
+                   help="min,max meters")
+    p.add_argument("-q", "--query", default="",
+                   help="boolean SQL predicate applied to the scan")
+    p.add_argument("--max_features_per_tile", type=int, default=1000)
+    p.add_argument("--use_gpu_instancing", action="store_true")
+    p.add_argument("--use_scale_non_uniform", action="store_true")
+    p.add_argument("--tileset_version", default="")
+    p.add_argument("--keep_projection", action="store_true")
+    p.add_argument("--use_i3dm", action="store_true")
+    p.add_argument("--use_external_model", action="store_true")
+    p.add_argument("--use_clustering", action="store_true")
+    # ---- engine extensions ----
+    p.add_argument("--source_epsg", type=int, default=4326,
+                   help="EPSG of input coordinates (reprojected at ingest)")
+    p.add_argument("--max_level", type=int, default=20)
+    p.add_argument("--subtree_levels", type=int, default=2)
+    p.add_argument("--model", action="append", default=[],
+                   metavar="NAME=GLB_PATH",
+                   help="model side input (repeatable); NAME matches the "
+                   "table's model column")
+    p.add_argument("--master", default=None,
+                   help="Spark master (default local[all cores])")
+    p.add_argument("--checkpoint_dir", default=None)
+    return p
+
+
+def _input_path(connection: str, table: str) -> str:
+    if not table:
+        return connection
+    for cand in (
+        os.path.join(connection, table),
+        os.path.join(connection, f"{table}.parquet"),
+    ):
+        if os.path.exists(cand):
+            return cand
+    return os.path.join(connection, table)
+
+
+def load_instances(spark, path: str, geometry_column: str,
+                   use_gpu_instancing: bool):
+    """Read the table; normalize to lon/lat/z + yaw/pitch/roll columns."""
+    from pyspark.sql import functions as F
+
+    from .packaging import ensure_shipped
+    from .sources.tables import orientation_select, schema_columns
+
+    df = spark.read.parquet(path)
+    cols = schema_columns(df)
+
+    if "lon" not in cols or "lat" not in cols:
+        gcol = geometry_column.lower()
+        if gcol not in cols:
+            raise SystemExit(
+                f"input needs lon/lat columns or a '{geometry_column}' WKB "
+                f"column; found: {sorted(cols)}"
+            )
+        ensure_shipped(spark)
+
+        @F.pandas_udf("lon double, lat double, z double")
+        def _decode(blobs: pd.Series) -> pd.DataFrame:
+            from .functions.wkb import decode_wkb_points
+
+            import numpy as np
+
+            pts = decode_wkb_points(blobs.to_numpy())
+            # 2D points decode with z = NaN; the reference forces z = 0
+            # via st_force3d (src/InstancesRepository.cs:42,52)
+            z = np.nan_to_num(pts[:, 2], nan=0.0)
+            return pd.DataFrame({"lon": pts[:, 0], "lat": pts[:, 1], "z": z})
+
+        df = (
+            df.withColumn("_pt", _decode(F.col(geometry_column)))
+            .select("*", "_pt.*")
+            .drop("_pt", geometry_column)
+        )
+        cols = schema_columns(df)
+
+    if not {"yaw", "pitch", "roll"} <= cols:
+        extra = orientation_select(df, use_gpu_instancing)
+        df = df.select("*", *extra)
+        if "rotation" in cols:
+            df = df.drop("rotation")
+    return df
+
+
+def main(argv=None, spark=None) -> dict:
+    args = build_parser().parse_args(argv)
+
+    from .config import ExportOptions
+    from .plans.pipeline import run_export
+    from .session import get_spark
+
+    heights = tuple(float(v) for v in args.boundingvolume_heights.split(","))
+    opts = ExportOptions(
+        geometric_error=args.geometricerror,
+        max_features_per_tile=args.max_features_per_tile,
+        boundingvolume_heights=heights,  # type: ignore[arg-type]
+        query=args.query,
+        use_clustering=args.use_clustering,
+        use_i3dm=args.use_i3dm,
+        use_gpu_instancing=args.use_gpu_instancing,
+        keep_projection=args.keep_projection,
+        use_scale_non_uniform=args.use_scale_non_uniform,
+        use_external_model=args.use_external_model,
+        tileset_version=args.tileset_version,
+        output=args.output,
+        source_epsg=args.source_epsg,
+        max_level=args.max_level,
+    )
+
+    own_session = spark is None
+    if own_session:
+        spark = get_spark(app_name="i3dm_export_spark_cli", master=args.master)
+    try:
+        pages = load_instances(
+            spark, _input_path(args.connection, args.table),
+            args.geometrycolumn, args.use_gpu_instancing,
+        )
+        model_glbs = {}
+        for spec in args.model:
+            name, _, path = spec.partition("=")
+            if not path:
+                raise SystemExit(f"--model expects NAME=GLB_PATH, got {spec!r}")
+            model_glbs[name] = path
+        summary = run_export(
+            pages, opts, args.output,
+            checkpoint_dir=args.checkpoint_dir,
+            subtree_levels=args.subtree_levels,
+            model_glbs=model_glbs or None,
+        )
+        print(json.dumps(summary, default=str))
+        return summary
+    finally:
+        if own_session:
+            spark.stop()
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])
