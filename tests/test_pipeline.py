@@ -199,3 +199,28 @@ class TestFusedVsPrecomputedEcef:
         b = duckdb.sql(q.format(tmp_path / "pre")).df()
         assert a.equals(b)
         assert len(a) > 0
+
+
+class TestPartialSinkResume:
+    def test_deleted_file_restored_others_untouched(self, spark, tmp_path):
+        """north_rule resume: after a kill that lost one tile file, a
+        re-run restores ONLY the missing file — completed tiles are
+        skipped (size-match fast path), stages reload from checkpoints."""
+        import time
+
+        pages = pages_df(spark, 500, scenario="A")
+        opts = ExportOptions(max_features_per_tile=100, max_level=10,
+                             use_i3dm=True)
+        out = tmp_path / "exp"
+        pipeline.run_export(pages, opts, str(out))
+        content = out / "content"
+        files = sorted(os.listdir(content))
+        assert len(files) >= 2
+        victim = files[0]
+        (content / victim).unlink()
+        mtimes = {f: os.path.getmtime(content / f) for f in files[1:]}
+        time.sleep(1.1)  # mtime resolution guard
+        pipeline.run_export(pages, opts, str(out))
+        assert os.path.exists(content / victim)
+        for f, t in mtimes.items():
+            assert os.path.getmtime(content / f) == t, f
