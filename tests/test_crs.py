@@ -183,3 +183,25 @@ class TestStatsBounds:
         )
         b_scan = extent.compute_bounds(df)
         assert tuple(s["bounds"]) == tuple(b_scan.bbox)
+
+
+class TestAllZonesProperty:
+    def test_roundtrip_every_utm_zone(self):
+        """Property: forward/inverse round-trips under 1e-9 deg across all
+        60 north + 60 south WGS84 zones and the ETRS89 range, at points
+        spread over each zone's width and extreme latitudes."""
+        rng = np.random.default_rng(7)
+        lat = rng.uniform(-79.5, 83.5, 40)
+        for epsg_base, zones, south in (
+            (32600, range(1, 61), False),
+            (32700, range(1, 61), True),
+            (25800, range(28, 39), False),
+        ):
+            for zone in zones:
+                tm = crs.projection_for_epsg(epsg_base + zone)
+                lon0 = zone * 6 - 183
+                lon = lon0 + rng.uniform(-2.9, 2.9, 40)
+                la = -np.abs(lat) if south else lat
+                lon2, lat2 = tm.inverse(*tm.forward(lon, la))
+                assert np.abs(lon2 - lon).max() < 1e-9, epsg_base + zone
+                assert np.abs(lat2 - la).max() < 1e-9, epsg_base + zone

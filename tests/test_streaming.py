@@ -111,3 +111,54 @@ class TestStreamingIngest:
         # cold cells never flag
         cold = res[res["batch_rows"] < 100]
         assert not cold["is_hot"].any()
+
+
+class TestStreamToBatchSnapshot:
+    def test_streamed_instances_tile_identically_to_one_shot(self, spark, tmp_path):
+        """The documented streaming->batch snapshot contract end to end:
+        pages arrive as N parquet drops, the file-source stream appends
+        encoded instances to a durable dir, and a batch export over the
+        accumulated snapshot equals the one-shot export of the same rows."""
+        import duckdb
+
+        from i3dm_export_spark.config import ExportOptions
+        from i3dm_export_spark.operators import extent
+        from i3dm_export_spark.plans import pipeline
+        from i3dm_export_spark.sources.pages import pages_df
+        from i3dm_export_spark.streaming import ingest
+
+        pages = pages_df(spark, 900, scenario="A")
+        pdf = pages.toPandas()
+        drops = tmp_path / "drops"
+        drops.mkdir()
+        for i in range(3):
+            spark.createDataFrame(
+                pdf.iloc[i * 300 : (i + 1) * 300], schema=pages.schema
+            ).write.parquet(str(drops / f"batch_{i}.parquet"))
+
+        bounds = extent.compute_bounds(pages)
+        stream = ingest.read_pages_stream(spark, str(drops) + "/*")
+        encoded = ingest.encoded_instances_stream(stream, bounds)
+        q = ingest.write_instances_stream(
+            encoded, str(tmp_path / "acc"), str(tmp_path / "ckpt")
+        )
+        q.awaitTermination(120)
+
+        acc = spark.read.parquet(str(tmp_path / "acc"))
+        assert acc.count() == 900
+
+        opts = ExportOptions(max_features_per_tile=100, max_level=10)
+        pipeline.run_export(
+            acc.drop("cell_x", "cell_y"), opts, str(tmp_path / "from_stream"),
+            bounds=bounds, write_content=False,
+        )
+        pipeline.run_export(
+            pages, opts, str(tmp_path / "one_shot"),
+            bounds=bounds, write_content=False,
+        )
+        tq = ("select level, x, y, n_instances from parquet_scan('{}/"
+              "_checkpoints/stage2_tiles/*.parquet') order by 1,2,3")
+        a = duckdb.sql(tq.format(tmp_path / "from_stream")).df()
+        b = duckdb.sql(tq.format(tmp_path / "one_shot")).df()
+        assert a.equals(b)
+        assert len(a) > 0

@@ -228,3 +228,29 @@ class TestMultiMillionTiles:
         assert root["tile_bits"] == "1" * 5
         assert root["content_bits"] == "1" * 5
         assert root["child_bits"] == "1" * 16
+
+
+class TestDeepSubtreeLevels:
+    def test_parity_at_s4(self, spark):
+        """subtree_levels=4 (85 interior + 256 child slots) parity between
+        the distributed and pandas assemblers on a real tree."""
+        from i3dm_export_spark.config import ExportOptions
+        from i3dm_export_spark.operators import extent, tiling
+        from i3dm_export_spark.sources.pages import synthesize_pages
+
+        pdf = synthesize_pages(2500, scenario="A")
+        bounds = extent.derive_root_bounds(
+            pdf["lon"].min(), pdf["lat"].min(), pdf["lon"].max(), pdf["lat"].max(), 0, 0
+        )
+        opts = ExportOptions(max_features_per_tile=100, max_level=12)
+        tree = tiling.build_tile_tree(spark.createDataFrame(pdf), bounds, opts)
+        tiles_pdf = tiling.collect_tiles(tree)
+        subs_p = subtree.build_subtrees_pandas(tiles_pdf, subtree_levels=4)
+        rows = subtree.build_subtrees_spark(tree.tiles, subtree_levels=4).collect()
+        subs_s = {
+            (r.root_level, r.root_x, r.root_y):
+                (r.tile_bits, r.content_bits, r.child_bits, bytes(r.payload))
+            for r in rows
+        }
+        assert subs_s == {k: (v[0], v[1], v[2], v[3]) for k, v in subs_p.items()}
+        assert len(subs_s) >= 1
