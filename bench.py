@@ -160,6 +160,7 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
+    shutil.rmtree(stage_dir, ignore_errors=True)
     print(
         json.dumps(
             {
