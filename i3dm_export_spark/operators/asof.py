@@ -78,16 +78,23 @@ def asof_join_backward(
     u = u.withColumn("_m", F.last("_rv", ignorenulls=True).over(w))
     out = u.filter(F.col("_side") == 1)
     if tolerance_seconds is not None:
-        # TIMESTAMP_NTZ rejects a direct cast to double; bridge through
-        # TIMESTAMP first (same workaround as sessionize.py). Numeric _ts
-        # columns survive the bridge unchanged (double <-> timestamp casts
-        # are seconds-based and round-trip at microsecond precision).
-        def _secs(c):
-            return c.cast("timestamp").cast("double")
-
-        in_tol = (
-            _secs(F.col("_ts")) - _secs(F.col("_m._matched_ts"))
-        ) <= tolerance_seconds
+        # timestamp difference must be timezone-free: casting TIMESTAMP_NTZ
+        # through the session zone gives two values straddling a DST
+        # transition different UTC offsets, skewing the difference by the
+        # DST delta (ADVICE r2). timestampdiff operates directly on both
+        # TIMESTAMP and TIMESTAMP_NTZ without a zone conversion; numeric
+        # _ts columns subtract directly.
+        ts_kind = u.schema["_ts"].dataType.simpleString()
+        if ts_kind.startswith("timestamp"):
+            delta = (
+                F.expr("timestampdiff(MICROSECOND, _m._matched_ts, _ts)")
+                / F.lit(1e6)
+            )
+        else:
+            delta = F.col("_ts").cast("double") - F.col("_m._matched_ts").cast(
+                "double"
+            )
+        in_tol = delta <= tolerance_seconds
         out = out.withColumn(
             "_m", F.when(in_tol, F.col("_m")).otherwise(F.lit(None).cast(rv_type))
         )

@@ -166,11 +166,27 @@ def lsh_candidate_pairs(
 
 def ngram_jaccard_pairs(
     docs: DataFrame, candidates: DataFrame, id_col="doc_id",
-    text_col="text", n: int = 3,
+    text_col="text", n: int = 3, prune: bool = True,
 ) -> DataFrame:
     """Exact n-gram Jaccard for candidate (a, b) pairs: two joins against
     the shingle table + one aggregation. jaccard = |A n B| / (|A| + |B| -
-    |A n B|) — a single integer division, bit-stable."""
+    |A n B|) — a single integer division, bit-stable.
+
+    Scale shape (VERDICT r2 item 2): sizes and intersections only need
+    the docs that actually appear in ``candidates``, so ``docs`` is
+    LEFT-SEMI pruned to the candidate id set BEFORE shingling. Without
+    the prune, ``shingles(distinct=True)`` is a full shuffle of every
+    character n-gram of every document — at 10^12 docs with a few million
+    candidates that scan+shuffle is ~1000x larger than needed. The prune
+    cannot change results: a doc outside the candidate set never joins a
+    pair. ``prune=False`` restores the unpruned plan (testing only)."""
+    if prune:
+        cand_ids = (
+            candidates.select(F.col("a").alias(id_col))
+            .unionByName(candidates.select(F.col("b").alias(id_col)))
+            .distinct()
+        )
+        docs = docs.join(cand_ids, id_col, "left_semi")
     sh = shingles(docs, id_col, text_col, n)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     inter = (

@@ -17,7 +17,7 @@ equality is engineered, not hoped for:
 
 from __future__ import annotations
 
-from .functions.text import BPE_RE, STOPWORDS
+from .functions.text import BPE_RE
 from .sources.pages import DOCS_BBOX, INSTANCE_CTE
 
 BBOX = DOCS_BBOX
@@ -459,20 +459,33 @@ def q_text_quality() -> str:
     )
 
 
-def q_text_langid() -> str:
-    score_exprs = []
-    for lang, words in STOPWORDS.items():
-        parts = " + ".join(
-            f"len(regexp_extract_all(tt, '\\b{w}\\b'))" for w in words
-        )
-        score_exprs.append(f"CAST({parts} AS BIGINT) AS s_{lang}")
+def q_text_langid(n: int = 3, top_k: int = 300) -> str:
+    """Cavnar-Trenkle trigram language ID (functions/text.lang_id_ngram):
+    the oracle inlines the SAME rank-weighted profile table the engine
+    broadcasts (pure function of the embedded samples), reproduces the
+    n-gram explode with substring positions, and applies the identical
+    (score DESC, lang ASC) argmax. Integer weights/sums -> bit-exact."""
+    from .functions.text import ngram_profiles
+
+    profiles = ngram_profiles(n, top_k)
+    rows = []
+    for lang in sorted(profiles):
+        for g, w in sorted(profiles[lang].items()):
+            ge = g.replace("'", "''")
+            rows.append(f"('{ge}','{lang}',{w})")
     return (
-        f"WITH norm AS (SELECT doc_id, {NORM_TEXT} AS tt FROM documents),\n"
-        f"s AS (SELECT doc_id, {', '.join(score_exprs)} FROM norm)\n"
-        "SELECT doc_id, s_en, s_fr, s_de, s_nl, "
-        "CASE WHEN s_nl > GREATEST(s_en, s_fr, s_de) THEN 'nl' "
-        "WHEN s_de > GREATEST(s_en, s_fr) THEN 'de' "
-        "WHEN s_fr > s_en THEN 'fr' ELSE 'en' END AS lang_guess FROM s"
+        f"WITH prof(gram, lang, weight) AS (VALUES {','.join(rows)}),\n"
+        f"norm AS (SELECT doc_id, {NORM_TEXT} AS tt FROM documents),\n"
+        "nums AS (SELECT CAST(x AS INT) AS s FROM range(1, 100001) t(x)),\n"
+        f"g AS (SELECT DISTINCT doc_id, substring(tt, s, {n}) AS gram "
+        f"FROM norm JOIN nums ON s <= GREATEST(length(tt) - {n - 1}, 1)),\n"
+        "sc AS (SELECT doc_id, lang, CAST(SUM(weight) AS BIGINT) AS score "
+        "FROM g JOIN prof USING (gram) GROUP BY doc_id, lang),\n"
+        "b AS (SELECT doc_id, lang, score, ROW_NUMBER() OVER "
+        "(PARTITION BY doc_id ORDER BY score DESC, lang ASC) AS rn FROM sc)\n"
+        "SELECT d.doc_id, COALESCE(b.lang, 'und') AS lang_pred, "
+        "COALESCE(b.score, CAST(0 AS BIGINT)) AS lang_score FROM documents d "
+        "LEFT JOIN (SELECT * FROM b WHERE rn = 1) b ON d.doc_id = b.doc_id"
     )
 
 
@@ -674,7 +687,8 @@ def q_ann_recall(k: int = 5, n_query: int = 10) -> str:
 
 
 def q_embedding_near_dup(
-    threshold: float = 0.3, dim: int = 64, n_planes: int = 4, seed: int = 42
+    threshold: float = 0.3, dim: int = 64, n_planes: int = 4, seed: int = 42,
+    max_bucket_size: int | None = None,
 ) -> str:
     """Bucketed near-dup pairs with the LSH signature REPRODUCED IN SQL:
     the oracle derives the same seeded +-1 hyperplanes as
@@ -698,13 +712,25 @@ def q_embedding_near_dup(
     dot = "list_dot_product(a.e, b.e)"
     na = "sqrt(list_dot_product(a.e, a.e))"
     nb = "sqrt(list_dot_product(b.e, b.e))"
+    cap_cte = ""
+    cap_join = ""
+    if max_bucket_size is not None:
+        # mirror the engine's max_bucket_size: buckets above the cap are
+        # dropped entirely before pairing
+        cap_cte = (
+            f"ok AS (SELECT sig FROM s GROUP BY sig "
+            f"HAVING COUNT(*) <= {max_bucket_size}),\n"
+        )
+        cap_join = "JOIN ok ON a.sig = ok.sig "
     return (
         "WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e "
         "FROM embeddings),\n"
         f"s AS (SELECT vec_id, e, {sig} AS sig FROM v),\n"
+        f"{cap_cte}"
         "p AS (SELECT a.vec_id AS a, b.vec_id AS b, "
         f"ROUND({dot} / ({na} * {nb}), 6) AS cosine "
-        "FROM s a JOIN s b ON a.sig = b.sig AND a.vec_id < b.vec_id)\n"
+        f"FROM s a JOIN s b ON a.sig = b.sig AND a.vec_id < b.vec_id "
+        f"{cap_join})\n"
         f"SELECT a, b, cosine FROM p WHERE cosine >= {threshold}"
     )
 

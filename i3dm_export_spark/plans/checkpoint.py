@@ -28,6 +28,37 @@ import time
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 
+class StaleCheckpointError(RuntimeError):
+    """A completed checkpoint was built from DIFFERENT input than the
+    current run (parquet-fallback snapshot pinning, VERDICT r2 item 9).
+    Resuming would silently serve stale stage output — fail loudly and
+    tell the operator how to proceed instead."""
+
+
+def input_fingerprint(df: DataFrame) -> str:
+    """Content fingerprint of a frame's input files — the parquet-fallback
+    equivalent of pinning an Iceberg snapshot id: sha256 over the sorted
+    (path, size, mtime_ns) triples of ``inputFiles()``. Metadata-only (no
+    data read). Returns '' for frames with no file inputs (in-memory /
+    synthesized), which disables pinning rather than false-alarming."""
+    import hashlib
+    from urllib.parse import urlparse
+
+    files = sorted(df.inputFiles())
+    if not files:
+        return ""
+    h = hashlib.sha256()
+    for uri in files:
+        path = urlparse(uri).path or uri
+        try:
+            st = os.stat(path)
+            h.update(f"{uri}|{st.st_size}|{st.st_mtime_ns}\n".encode())
+        except OSError:
+            # non-local storage: pin on the path list alone
+            h.update(f"{uri}\n".encode())
+    return h.hexdigest()
+
+
 class CheckpointManager:
     def __init__(self, spark: SparkSession, root: str, table_format: str = "parquet"):
         self.spark = spark
@@ -61,8 +92,25 @@ class CheckpointManager:
     ) -> DataFrame:
         """Build-or-reload a stage. ``builder() -> DataFrame`` runs only when
         the checkpoint is absent/incomplete; per-partition lineage rows are
-        written alongside the data."""
+        written alongside the data.
+
+        When both the caller and the completed checkpoint carry a non-empty
+        ``input_fingerprint`` and they differ, the input mutated since the
+        checkpoint was written: raise :class:`StaleCheckpointError` instead
+        of silently reusing stale stage output."""
         if self.is_complete(stage):
+            if input_fingerprint:
+                with open(self._done_marker(stage)) as f:
+                    recorded = json.load(f).get("input_fingerprint", "")
+                if recorded and recorded != input_fingerprint:
+                    raise StaleCheckpointError(
+                        f"checkpoint stage '{stage}' at "
+                        f"{self._stage_path(stage)} was built from different "
+                        f"input (fingerprint {recorded[:12]}.. != current "
+                        f"{input_fingerprint[:12]}..). Delete the checkpoint "
+                        f"root or pass a fresh checkpoint_dir to re-export "
+                        f"the mutated input."
+                    )
             return self.read(stage)
 
         t0 = time.monotonic()

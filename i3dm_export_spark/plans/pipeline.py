@@ -95,6 +95,48 @@ def stage1_encode(instances: DataFrame, s2_level: int = 16) -> DataFrame:
     return instances.withColumn("_e", enc_col).select("*", "_e.*").drop("_e")
 
 
+def _is_bare_scan(df: DataFrame) -> bool:
+    """True iff ``df``'s optimized plan is a single file relation, possibly
+    under column-pruning Projects / SubqueryAliases only — the exact
+    condition under which parquet-footer stats of ``inputFiles()`` describe
+    the frame's rows. Any Filter, computed Project (aliases/expressions),
+    join, or other node disqualifies (ADVICE r2: the stats path must not
+    silently cover rows/values the plan excludes)."""
+    try:
+        plan = df._jdf.queryExecution().optimizedPlan()
+    except Exception:
+        return False
+
+    def walk(node) -> bool:
+        name = node.getClass().getSimpleName()
+        if name in (
+            "LogicalRelation",
+            "DataSourceV2Relation",
+            "DataSourceV2ScanRelation",
+        ):
+            return True
+        if name in ("Project", "SubqueryAlias", "ResolvedHint"):
+            if name == "Project":
+                it = node.projectList().iterator()
+                while it.hasNext():
+                    if (
+                        it.next().getClass().getSimpleName()
+                        != "AttributeReference"
+                    ):
+                        return False
+            children = node.children().iterator()
+            kids = []
+            while children.hasNext():
+                kids.append(children.next())
+            return len(kids) == 1 and walk(kids[0])
+        return False
+
+    try:
+        return walk(plan)
+    except Exception:
+        return False
+
+
 def run_export(
     pages: DataFrame,
     opts: ExportOptions,
@@ -113,6 +155,12 @@ def run_export(
     into content/) and shipped to the encode stage by closure."""
     spark = pages.sparkSession
     ckpt = CheckpointManager(spark, checkpoint_dir or os.path.join(output_dir, "_checkpoints"))
+    # parquet-fallback snapshot pinning: every stage records the input's
+    # file-list+size+mtime fingerprint; resuming against MUTATED input
+    # raises StaleCheckpointError instead of serving stale stages
+    from .checkpoint import input_fingerprint as _ifp
+
+    in_fp = _ifp(pages)
 
     def _stage0():
         inst = stage0_instances(pages)
@@ -138,13 +186,16 @@ def run_export(
     if _preprojected:
         inst = pages.select(*INSTANCE_COLS)
     else:
-        inst = ckpt.run_stage("stage0_instances", _stage0)
+        inst = ckpt.run_stage("stage0_instances", _stage0, input_fingerprint=in_fp)
 
     if bounds is None:
         # prefer the metadata-only extent (parquet/Iceberg footer stats —
         # zero data rows read, removes one full pass at 100 TB); only valid
-        # when no predicate filters rows and coordinates are already 4326
-        if not opts.query and opts.source_epsg == 4326:
+        # when no predicate filters rows, coordinates are already 4326, AND
+        # the frame is a bare scan of its input files: inputFiles() reflects
+        # the SOURCE, so a pre-filtered/derived frame would otherwise get
+        # bounds over rows/values its plan excludes (ADVICE r2)
+        if not opts.query and opts.source_epsg == 4326 and _is_bare_scan(pages):
             files = pages.inputFiles()
             if files:
                 bounds = extent.bounds_from_parquet_stats(
@@ -158,7 +209,8 @@ def run_export(
             )
 
     if opts.precompute_ecef:
-        encoded = ckpt.run_stage("stage1_encoded", lambda: stage1_encode(inst))
+        encoded = ckpt.run_stage("stage1_encoded", lambda: stage1_encode(inst),
+                                 input_fingerprint=in_fp)
     else:
         # fused: ECEF is computed inside the per-tile encoder / reducer from
         # the same float64 kernel (byte-identical payloads, parity-tested);
@@ -169,6 +221,7 @@ def run_export(
     tree_df = ckpt.run_stage(
         "stage2_tiles",
         lambda: tiling.build_tile_tree(encoded, bounds, opts).tiles,
+        input_fingerprint=in_fp,
     )
     tree = tiling.TileTree(
         tiles=tree_df, deep_level=opts.max_level,
@@ -187,14 +240,16 @@ def run_export(
             "level", "x", "y",
         )
 
-    assigned = ckpt.run_stage("stage3_assigned", _assign, partition_cols=None)
+    assigned = ckpt.run_stage("stage3_assigned", _assign, partition_cols=None,
+                               input_fingerprint=in_fp)
 
     # stage 4: LOD reduction for over-full content tiles, then payload encode
     if opts.use_clustering:
         # explicit skew path: hot cells (dense urban tiles) are salted into
         # bounded sub-groups before the superlinear per-tile k-means
         reduced = ckpt.run_stage(
-            "stage4_reduced", lambda: cluster_tiles_salted(assigned, opts)
+            "stage4_reduced", lambda: cluster_tiles_salted(assigned, opts),
+            input_fingerprint=in_fp,
         )
     else:
         reduced = assigned
@@ -213,6 +268,7 @@ def run_export(
     payloads = ckpt.run_stage(
         "stage4_payloads",
         lambda: enc.encode_tiles(reduced, opts, model_glbs=prepared_models),
+        input_fingerprint=in_fp,
     )
 
     # ---- sinks (K1/K3/K4): executor-side, nothing funnels through the
@@ -238,6 +294,7 @@ def run_export(
     subs_df = ckpt.run_stage(
         "stage5_subtrees",
         lambda: subtree.build_subtrees_spark(tree.tiles, subtree_levels),
+        input_fingerprint=in_fp,
     )
     sub_files = subs_df.select(
         F.format_string("%d_%d_%d.subtree", "root_level", "root_x", "root_y")

@@ -13,7 +13,8 @@ Properties:
   the manifest row count.
 * **Idempotent / retry-safe**: files land via write-to-temp + atomic
   ``os.replace``; a task retry or a resumed job rewrites or skips
-  (same-size fast path) rather than corrupting.
+  (same-CONTENT fast path — byte compare, never size-only) rather than
+  corrupting or silently keeping stale tiles.
 * **Resumable with lineage**: the manifest is itself written as a parquet
   table next to the checkpoints, so a killed export's completed tiles are
   droppable via :func:`plans.checkpoint.anti_join_pending` and the sink
@@ -27,7 +28,7 @@ import os
 import pandas as pd
 from pyspark.sql import DataFrame
 
-_MANIFEST_SCHEMA = "relpath string, n_bytes bigint"
+_MANIFEST_SCHEMA = "relpath string, n_bytes bigint, content_md5 string"
 
 
 def write_binary_files(
@@ -47,7 +48,22 @@ def write_binary_files(
     os.makedirs(root_dir, exist_ok=True)
 
     def _write(batches):
+        import hashlib
         import uuid
+
+        def _already_current(final, b):
+            # resume fast path must compare CONTENT, not just size: i3dm/
+            # subtree payload size is set by instance count and batch-table
+            # shape, so re-exporting changed data into an existing output
+            # dir would otherwise keep stale bytes (ADVICE r2). Size check
+            # short-circuits the read on the common mismatch.
+            try:
+                if os.path.getsize(final) != len(b):
+                    return False
+                with open(final, "rb") as f:
+                    return f.read() == b
+            except OSError:
+                return False
 
         for pdf in batches:
             out = []
@@ -57,15 +73,15 @@ def write_binary_files(
                 parent = os.path.dirname(final)
                 if parent:
                     os.makedirs(parent, exist_ok=True)
-                if not (
-                    os.path.exists(final) and os.path.getsize(final) == len(b)
-                ):
+                if not _already_current(final, b):
                     tmp = f"{final}.tmp.{uuid.uuid4().hex}"
                     with open(tmp, "wb") as f:
                         f.write(b)
                     os.replace(tmp, final)
-                out.append((rel, len(b)))
-            yield pd.DataFrame(out, columns=["relpath", "n_bytes"])
+                out.append((rel, len(b), hashlib.md5(b).hexdigest()))
+            yield pd.DataFrame(
+                out, columns=["relpath", "n_bytes", "content_md5"]
+            )
 
     manifest = files.select("relpath", "payload").mapInPandas(
         _write, _MANIFEST_SCHEMA

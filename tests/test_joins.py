@@ -206,3 +206,32 @@ class TestAsofNtzTolerance:
         ).toPandas().set_index("id")
         assert out.loc[0, "v"] == 7.0    # 10 s old: inside tolerance
         assert pd.isna(out.loc[1, "v"])  # 410 s old: outside
+
+    def test_ntz_tolerance_is_timezone_free_across_dst(self, spark):
+        """ADVICE r2: two NTZ values straddling a DST transition must
+        difference timezone-free. Under Europe/Amsterdam the old
+        cast-through-session-zone path gave 01:30->03:00 on 2026-03-29 a
+        1800 s delta (offsets +01/+02) instead of the true 5400 s, wrongly
+        matching a 3600 s tolerance."""
+        import pandas as pd
+        from pyspark.sql import functions as F
+
+        from i3dm_export_spark.operators.asof import asof_join_backward
+
+        old_tz = spark.conf.get("spark.sql.session.timeZone")
+        spark.conf.set("spark.sql.session.timeZone", "Europe/Amsterdam")
+        try:
+            left = spark.createDataFrame(
+                [(0, 1, "2026-03-29 03:00:00")], "id int, k int, t string"
+            ).withColumn("t", F.col("t").cast("timestamp_ntz"))
+            right = spark.createDataFrame(
+                [(1, "2026-03-29 01:30:00", 7.0)], "k int, t string, v double"
+            ).withColumn("t", F.col("t").cast("timestamp_ntz"))
+            out = asof_join_backward(
+                left, right, on=["k"], left_ts="t", right_ts="t",
+                value_cols=["v"], tolerance_seconds=3600,
+            ).toPandas().set_index("id")
+            # true NTZ delta is 5400 s > 3600 -> no match
+            assert pd.isna(out.loc[0, "v"])
+        finally:
+            spark.conf.set("spark.sql.session.timeZone", old_tz)

@@ -1,0 +1,92 @@
+"""Cavnar-Trenkle n-gram language ID (functions/text.lang_id_ngram).
+
+Accuracy is checked on HELD-OUT sentences (none appear in the embedded
+training samples), the unknown path returns 'und', and the plan gate
+pins the broadcast profile join / no-Python shape (VERDICT r2 item 4).
+"""
+
+import pytest
+
+from i3dm_export_spark.functions import text as tx
+
+# one held-out sentence per language — deliberately different wording from
+# tx.LANG_SAMPLES (same "weather tomorrow vs yesterday" meaning everywhere)
+HELD_OUT = {
+    "en": "there are many people who think that the weather will be better tomorrow than it was yesterday",
+    "fr": "il y a beaucoup de gens qui pensent que le temps sera meilleur demain qu'il ne l'etait hier",
+    "de": "es gibt viele leute die denken dass das wetter morgen besser sein wird als es gestern war",
+    "nl": "er zijn veel mensen die denken dat het weer morgen beter zal zijn dan het gisteren was",
+    "es": "hay mucha gente que piensa que el tiempo sera mejor manana de lo que fue ayer",
+    "pt": "ha muitas pessoas que pensam que o tempo estara melhor amanha do que esteve ontem",
+    "it": "ci sono molte persone che pensano che il tempo sara migliore domani di quanto non fosse ieri",
+    "ro": "sunt multi oameni care cred ca vremea va fi maine mai buna decat a fost ieri",
+    "ca": "hi ha molta gent que pensa que el temps sera millor dema del que va ser ahir",
+    "sv": "det finns manga manniskor som tror att vadret kommer att bli battre i morgon an det var i gar",
+    "da": "der er mange mennesker der tror at vejret bliver bedre i morgen end det var i gar",
+    "no": "det er mange mennesker som tror at vaeret blir bedre i morgen enn det var i gar",
+    "fi": "on paljon ihmisia jotka ajattelevat etta saa on huomenna parempi kuin se oli eilen",
+    "et": "on palju inimesi kes arvavad et ilm on homme parem kui see oli eile",
+    "pl": "jest wielu ludzi ktorzy mysla ze pogoda bedzie jutro lepsza niz byla wczoraj",
+    "cs": "je mnoho lidi kteri si mysli ze pocasi bude zitra lepsi nez bylo vcera",
+    "sk": "je vela ludi ktori si myslia ze pocasie bude zajtra lepsie ako bolo vcera",
+    "sl": "veliko je ljudi ki mislijo da bo vreme jutri boljse kot je bilo vceraj",
+    "hr": "ima mnogo ljudi koji misle da ce vrijeme sutra biti bolje nego sto je bilo jucer",
+    "hu": "sok ember gondolja ugy hogy az idojaras holnap jobb lesz mint tegnap volt",
+    "tr": "yarin havanin dunden daha iyi olacagini dusunen cok insan var",
+    "id": "ada banyak orang yang berpikir bahwa cuaca besok akan lebih baik daripada kemarin",
+    "sw": "kuna watu wengi wanaofikiri kwamba hali ya hewa itakuwa nzuri zaidi kesho kuliko ilivyokuwa jana",
+    "lt": "yra daug zmoniu kurie mano kad oras rytoj bus geresnis nei buvo vakar",
+    "lv": "ir daudz cilveku kuri doma ka laiks rit bus labaks neka tas bija vakar",
+}
+
+# languages with no close sibling in the profile set: every one of these
+# must classify exactly; the siblings (da/no/sv, cs/sk, hr/sl, lt/lv,
+# es/pt/ca) only count toward the aggregate threshold
+CORE = ("en", "fr", "de", "nl", "it", "ro", "fi", "et", "pl", "hu", "tr",
+        "id", "sw")
+
+
+class TestLangIdNgram:
+    def test_profiles_cover_all_sample_languages(self):
+        profiles = tx.ngram_profiles()
+        assert set(profiles) == set(tx.LANG_SAMPLES)
+        assert len(profiles) >= 20
+        for lang, prof in profiles.items():
+            assert 0 < len(prof) <= tx.LANGID_TOP_K
+            assert all(isinstance(w, int) and w > 0 for w in prof.values())
+
+    def test_held_out_accuracy(self, spark):
+        docs = spark.createDataFrame(
+            [(i, lang, s) for i, (lang, s) in enumerate(sorted(HELD_OUT.items()))],
+            "doc_id int, true_lang string, text string",
+        )
+        out = {
+            r["doc_id"]: r["lang_pred"]
+            for r in tx.lang_id_ngram(docs).collect()
+        }
+        rows = sorted(HELD_OUT.items())
+        wrong = [
+            (lang, out[i]) for i, (lang, _) in enumerate(rows) if out[i] != lang
+        ]
+        acc = 1 - len(wrong) / len(rows)
+        assert acc >= 0.8, f"held-out accuracy {acc:.2f}; wrong: {wrong}"
+        core_wrong = [w for w in wrong if w[0] in CORE]
+        assert not core_wrong, f"core languages misclassified: {core_wrong}"
+
+    def test_unknown_text_is_und(self, spark):
+        docs = spark.createDataFrame(
+            [(0, "0123456789"), (1, "")], "doc_id int, text string"
+        )
+        out = {r["doc_id"]: r for r in tx.lang_id_ngram(docs).collect()}
+        assert out[0]["lang_pred"] == "und" and out[0]["lang_score"] == 0
+        assert out[1]["lang_pred"] == "und" and out[1]["lang_score"] == 0
+
+    def test_plan_broadcast_join_no_python(self, spark):
+        docs = spark.createDataFrame([(0, "hello world")], "doc_id int, text string")
+        plan = (
+            tx.lang_id_ngram(docs)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

@@ -4,6 +4,7 @@ import json
 import os
 
 import pytest
+from pyspark.sql import functions as F
 
 from i3dm_export_spark.config import ExportOptions
 from i3dm_export_spark.plans import pipeline
@@ -141,6 +142,95 @@ class TestDistributedSinks:
         assert (root / "a" / "x.bin").read_bytes() == b"hello"
         leftovers = [p for p in root.rglob("*.tmp.*")]
         assert leftovers == []
+
+    def test_stale_same_size_file_is_rewritten(self, spark, tmp_path):
+        """ADVICE r2: payload size is set by instance count / batch-table
+        shape, not values — a pre-existing file of the SAME LENGTH but
+        different bytes (stale tile from an earlier export of changed
+        data) must be replaced, not size-skipped."""
+        from i3dm_export_spark.plans import sinks
+
+        root = tmp_path / "sink"
+        root.mkdir()
+        (root / "t.bin").write_bytes(b"STALE")  # same length as "FRESH"
+        df = spark.createDataFrame(
+            [("t.bin", bytearray(b"FRESH"))], "relpath string, payload binary"
+        )
+        sinks.write_binary_files(df, str(root))
+        assert (root / "t.bin").read_bytes() == b"FRESH"
+
+    def test_manifest_records_content_hash(self, spark, tmp_path):
+        import hashlib
+
+        from i3dm_export_spark.plans import sinks
+
+        df = spark.createDataFrame(
+            [("h.bin", bytearray(b"payload"))], "relpath string, payload binary"
+        )
+        sinks.write_binary_files(
+            df, str(tmp_path / "s"), manifest_path=str(tmp_path / "m")
+        )
+        row = spark.read.parquet(str(tmp_path / "m")).collect()[0]
+        assert row["content_md5"] == hashlib.md5(b"payload").hexdigest()
+
+    def test_footer_stats_extent_requires_bare_scan(self, spark):
+        """ADVICE r2: inputFiles() reflects the SOURCE; the metadata-only
+        extent path must engage only when the frame is a bare (possibly
+        column-pruned) scan of those files."""
+        df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        assert pipeline._is_bare_scan(df)
+        assert pipeline._is_bare_scan(df.select("doc_id", "lang"))
+        assert not pipeline._is_bare_scan(df.filter("doc_id > 10"))
+        assert not pipeline._is_bare_scan(
+            df.select((df.n_chars * 2).alias("n_chars"), "lang")
+        )
+        assert not pipeline._is_bare_scan(spark.range(10))
+
+    def test_filtered_frame_gets_filtered_bounds(self, spark, tmp_path):
+        """End-to-end: run_export on a PRE-FILTERED frame must compute the
+        root region from the filtered rows (compute_bounds fallback), not
+        the parquet footer stats of the full source."""
+        import json
+
+        pages = pages_df(spark, 400, scenario="A")
+        src = tmp_path / "pages_src"
+        pages.write.parquet(str(src))
+        stored = spark.read.parquet(str(src))
+        med = stored.approxQuantile("lon", [0.5], 0.0)[0]
+        filtered = stored.filter(F.col("lon") > med)
+        opts = ExportOptions(max_features_per_tile=100, max_level=8)
+        out = tmp_path / "exp_filtered"
+        pipeline.run_export(filtered, opts, str(out), write_content=False)
+        ts = json.loads((out / "tileset.json").read_text())
+        region = ts["root"]["boundingVolume"]["region"]
+        import math
+
+        min_lon_deg = math.degrees(region[0])
+        full_min = stored.agg(F.min("lon")).collect()[0][0]
+        # root region must start near the filtered min (> median), far from
+        # the full-source min
+        assert min_lon_deg > full_min + 0.5 * (med - full_min)
+
+    def test_resume_after_input_mutation_fails_loudly(self, spark, tmp_path):
+        """VERDICT r2 item 9: the parquet-fallback snapshot pin. A resume
+        whose INPUT FILES changed since the checkpoints were written must
+        raise StaleCheckpointError, not silently reuse stale stages."""
+        from i3dm_export_spark.plans.checkpoint import StaleCheckpointError
+
+        src = tmp_path / "src"
+        pages_df(spark, 300, scenario="A").write.parquet(str(src))
+        stored = spark.read.parquet(str(src))
+        out = tmp_path / "exp_stale"
+        opts = ExportOptions(max_features_per_tile=100, max_level=8)
+        pipeline.run_export(stored, opts, str(out), write_content=False)
+
+        # mutate the input in place (different rows, new files)
+        pages_df(spark, 500, scenario="A").write.mode("overwrite").parquet(
+            str(src)
+        )
+        stored2 = spark.read.parquet(str(src))
+        with pytest.raises(StaleCheckpointError, match="different input"):
+            pipeline.run_export(stored2, opts, str(out), write_content=False)
 
     def test_export_never_materializes_on_driver(self, spark, tmp_path, monkeypatch):
         """K1/K3 plan gate (VERDICT r1 items 1-2, 10): the export hot path

@@ -150,7 +150,84 @@ class TestDedupPlans:
         assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 2
 
 
+class TestNgramJaccardPrune:
+    def _parts(self, spark):
+        from i3dm_export_spark.operators.dedup import (
+            lsh_candidate_pairs,
+            minhash_signatures,
+        )
+
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        sigs = minhash_signatures(docs, n_bands=4, rows_per_band=4, shingle_n=9)
+        return docs, lsh_candidate_pairs(sigs)
+
+    def test_shingle_scan_is_semi_join_pruned(self, spark):
+        """VERDICT r2 item 2: the shingle/size pipeline's input is the
+        candidate doc set (LEFT-SEMI against the candidate ids), never the
+        whole corpus — at 10^12 docs the unpruned distinct-shingle shuffle
+        is ~1000x larger than needed."""
+        from i3dm_export_spark.operators.dedup import ngram_jaccard_pairs
+
+        docs, cand = self._parts(spark)
+        plan = _plan(ngram_jaccard_pairs(docs, cand, n=3))
+        assert "LeftSemi" in plan
+
+    def test_prune_does_not_change_results(self, spark):
+        from i3dm_export_spark.operators.dedup import ngram_jaccard_pairs
+
+        docs, cand = self._parts(spark)
+        cand = cand.localCheckpoint()  # evaluate once, reuse on both paths
+        pruned = (
+            ngram_jaccard_pairs(docs, cand, n=3, prune=True)
+            .toPandas().sort_values(["a", "b"]).reset_index(drop=True)
+        )
+        unpruned = (
+            ngram_jaccard_pairs(docs, cand, n=3, prune=False)
+            .toPandas().sort_values(["a", "b"]).reset_index(drop=True)
+        )
+        import pandas as pd
+
+        pd.testing.assert_frame_equal(pruned, unpruned)
+
+
 class TestSimilarityPlans:
+    def test_embedding_near_dup_no_self_join(self, spark):
+        """VERDICT r2 item 1: near-dup is agg-then-local-explode — ONE
+        bucket-key shuffle, NO self-join (a join would both re-evaluate the
+        signature pipeline twice and make one degenerate bucket an
+        unbounded m^2-row shuffle)."""
+        import re
+
+        from i3dm_export_spark.operators.similarity import embedding_near_dup
+        from i3dm_export_spark.sources.tables import load_table
+
+        emb = load_table(spark, SF_DIR, "embeddings")
+        dim = len(emb.select("embedding").first()[0])
+        plan = _plan(
+            embedding_near_dup(
+                emb, threshold=0.3, dim=dim, n_planes=4, max_bucket_size=1000
+            )
+        )
+        assert "Join" not in plan
+        assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 1
+
+    def test_embedding_near_dup_bucket_cap_bounds_pairs(self, spark):
+        """Degenerate single-bucket input (n_planes=0, threshold=-1 so no
+        cosine filtering): without the cap every pair of the corpus would
+        emit; with max_bucket_size below the corpus size the bucket is
+        dropped and ZERO pairs come out."""
+        from i3dm_export_spark.operators.similarity import embedding_near_dup
+        from i3dm_export_spark.sources.tables import load_table
+
+        emb = load_table(spark, SF_DIR, "embeddings").filter("vec_id < 50")
+        dim = len(emb.select("embedding").first()[0])
+        capped = embedding_near_dup(
+            emb, threshold=-1.0, dim=dim, n_planes=0, max_bucket_size=10
+        )
+        assert capped.count() == 0
+        uncapped = embedding_near_dup(emb, threshold=-1.0, dim=dim, n_planes=0)
+        assert uncapped.count() == 50 * 49 // 2
+
     def test_ivf_probe_join_broadcasts_queries(self, spark):
         from i3dm_export_spark.operators.similarity import ivf_ann
         from i3dm_export_spark.sources.tables import load_table
