@@ -209,9 +209,25 @@ def main(argv=None, spark=None) -> dict:
                     ),
                 )
         else:
+            in_path = _input_path(args.connection, args.table)
+            geom_col = args.geometrycolumn
+            # data-driven source CRS, parquet side (the reference probes
+            # ST_SRID from the data, src/SpatialReferenceRepository.cs:6-12;
+            # GeoParquet carries the CRS in the footer's `geo` metadata).
+            # Footer-only — no data rows. An explicit --source_epsg wins.
+            from .sources.geoparquet import sniff_crs
+
+            epsg, primary_col = sniff_crs(in_path)
+            if primary_col and geom_col == "geom":
+                geom_col = primary_col
+            if epsg is not None and "--source_epsg" not in (
+                argv or sys.argv[1:]
+            ):
+                import dataclasses
+
+                opts = dataclasses.replace(opts, source_epsg=epsg)
             pages = load_instances(
-                spark, _input_path(args.connection, args.table),
-                args.geometrycolumn, args.use_gpu_instancing,
+                spark, in_path, geom_col, args.use_gpu_instancing,
             )
         model_glbs = {}
         for spec in args.model:
