@@ -174,7 +174,8 @@ single-thread baseline by 14-46x.
 
 Raw CPU-probe walls (fixed work/proc, ideal = flat): {probe}
 """
-    with open(os.path.join(REPO, "BENCH_SCALING.md"), "w") as f:
+    with open(os.environ.get("SCALING_OUT",
+                         os.path.join(REPO, "BENCH_SCALING.md")), "w") as f:
         f.write(md)
 
 
