@@ -28,6 +28,7 @@ from i3dm_export_spark.operators import (
     similarity,
     tiling,
 )
+from i3dm_export_spark.operators import ranking as _ranking
 from i3dm_export_spark.sources.pages import DOCS_BBOX, INSTANCE_COLS
 from i3dm_export_spark.sources.tables import load_table
 
@@ -413,6 +414,26 @@ def q_text_fingerprint(spark, sf_dir):
     )
 
 
+BM25_TERMS = ("spark", "window", "hash")
+
+
+def q_bm25_rank(spark, sf_dir):
+    """Okapi BM25 over `documents` for a fixed term list: per-doc tf as a
+    pure array projection (no explode/shuffle), corpus stats as ONE
+    broadcast scalar-agg row, literal-order float sum (hash-stable)."""
+    from i3dm_export_spark.operators.ranking import bm25_rank
+
+    return bm25_rank(_docs(spark, sf_dir), BM25_TERMS)
+
+
+def q_source_stats(spark, sf_dir):
+    """Per-source (per-domain) curation metrics: docs, exact-dup rate via
+    the normalized-text md5 fingerprint, language spread, mean length."""
+    from i3dm_export_spark.operators.ranking import source_stats
+
+    return source_stats(_docs(spark, sf_dir))
+
+
 def q_events_hourly(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events")
     return ev.groupBy(
@@ -761,11 +782,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": q_sessionize,
         "term_freq_topk": q_term_freq_topk,
         "lineitem_pricing": q_lineitem_pricing,
-        "orders_topk_join": q_orders_topk_join,
+        # r3 swap: orders_topk_join retired (join+topk shape also covered
+        # by region_revenue + events_topk_window) in favor of bm25_rank
+        "bm25_rank": q_bm25_rank,
         "region_revenue": q_region_revenue,
         "events_topk_window": q_events_topk_window,
         "customers_without_orders": q_customers_without_orders,
-        "pricing_rollup": q_pricing_rollup,
+        # r3 swap: pricing_rollup retired (strict subset of the
+        # grouping-sets surface pricing_cube keeps) for source_stats
+        "source_stats": q_source_stats,
         "pricing_cube": q_pricing_cube,
         "events_percentiles": q_events_percentiles,
         "nations_setops": q_nations_setops,
@@ -812,11 +837,11 @@ def oracle_sql() -> dict[str, str]:
         "sessionize": oracles.q_sessionize(1800),
         "term_freq_topk": oracles.q_term_freq_topk(50),
         "lineitem_pricing": oracles.q_lineitem_pricing(),
-        "orders_topk_join": oracles.q_orders_topk_join(),
+        "bm25_rank": _ranking.bm25_oracle_sql(BM25_TERMS),
         "region_revenue": oracles.q_region_revenue(),
         "events_topk_window": oracles.q_events_topk_window(),
         "customers_without_orders": oracles.q_customers_without_orders(),
-        "pricing_rollup": oracles.q_pricing_rollup(),
+        "source_stats": _ranking.SOURCE_STATS_ORACLE_SQL,
         "pricing_cube": oracles.q_pricing_cube(),
         "events_percentiles": oracles.q_events_percentiles(),
         "nations_setops": oracles.q_nations_setops(),
