@@ -1,0 +1,362 @@
+"""Incremental append: re-tile ONLY what a new batch of instances dirties.
+
+The 100 TB operating mode is CDC-style appends (a new crawl drop lands
+next to 10^12 existing pages). Recomputing the whole export for a 0.1%
+append wastes almost all of its cost in stage 4 — the per-tile payload
+encode (and optional k-means LOD reduce) dominates, while the tree build
+and leaf assignment are cheap linear scans. This module therefore:
+
+1. rebuilds the tile tree and leaf assignment over old ∪ new instances
+   (linear, one count-rollup shuffle — the same cost class as a metadata
+   pass, and unavoidable: appends can flip split decisions anywhere in
+   the ancestry of a new point);
+2. diffs the new assignment against the previous run's ``stage3_assigned``
+   checkpoint on the stable instance key (``url``) — one doc-key join;
+3. re-encodes ONLY the dirty tiles (tiles that gained, lost, or received
+   re-assigned instances), writes their content files (atomic replace),
+   deletes content files whose tile stopped being a content tile, and
+   merges the sink manifest;
+4. reassembles subtree availability files (tile-count scale, cheap) and
+   rewrites ``tileset.json`` — the executor sink's content-compare skips
+   the unchanged subtree bytes on disk;
+5. refreshes the stage checkpoints so the NEXT append diffs against the
+   new state.
+
+Parity contract (tested): content/ + subtrees/ + tileset.json after
+``run_export(A)`` + ``incremental_append(B)`` are byte-identical to
+``run_export(A ∪ B)`` from scratch — payload encode is a deterministic
+function of the member set (url-ordered, seeded k-means), so equal member
+sets yield equal bytes.
+
+Preconditions (enforced):
+* the previous export completed (``stage3_assigned`` checkpoint + the
+  ``_export_meta.json`` frame written by ``run_export``);
+* appended instances fall INSIDE the recorded root bounds — a point
+  outside shifts every tile key's meaning, so the append degrades to a
+  full re-export (raised as :class:`IncrementalRebuildRequired`, never
+  silently mis-tiled);
+* the same ``ExportOptions`` drive the append (checked against the
+  recorded snapshot);
+* ``url`` is the unique stable instance key (the engine-wide total-order
+  contract, FIXTURES.md §5).
+
+No reference analog: the reference re-runs its whole pipeline per
+invocation (src/Program.cs). This is engine-only scale machinery.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..config import Bounds, ExportOptions
+from ..operators import encode as enc
+from ..operators import subtree, tiling
+from ..operators.skew import cluster_tiles_salted
+from . import sinks
+from .checkpoint import CheckpointManager
+from .pipeline import stage0_instances
+
+TILE_KEY = ["level", "x", "y"]
+
+
+class IncrementalRebuildRequired(RuntimeError):
+    """The append cannot be applied incrementally (out-of-bounds points or
+    changed export options); run a full ``run_export`` instead."""
+
+
+def _load_meta(ckpt_root: str) -> dict:
+    path = os.path.join(ckpt_root, "_export_meta.json")
+    if not os.path.exists(path):
+        raise IncrementalRebuildRequired(
+            f"no _export_meta.json under {ckpt_root}: the previous export "
+            "predates incremental support or never completed — run a full "
+            "run_export first"
+        )
+    with open(path) as f:
+        return json.load(f)
+
+
+def _check_opts(meta: dict, opts: ExportOptions) -> None:
+    recorded = meta.get("opts", {})
+    current = {
+        k: (list(v) if isinstance(v, tuple) else v)
+        for k, v in dataclasses.asdict(opts).items()
+    }
+    diffs = {
+        k: (recorded.get(k), current[k])
+        for k in current
+        if recorded.get(k) != current[k]
+    }
+    if diffs:
+        raise IncrementalRebuildRequired(
+            f"export options changed since the base export: {diffs}; "
+            "changed semantics require a full re-export"
+        )
+
+
+def _check_bounds(new_inst: DataFrame, bounds: Bounds) -> None:
+    row = new_inst.agg(
+        F.min("lon").alias("xmin"), F.max("lon").alias("xmax"),
+        F.min("lat").alias("ymin"), F.max("lat").alias("ymax"),
+    ).collect()[0]
+    if row["xmin"] is None:
+        return
+    if (
+        row["xmin"] < bounds.xmin or row["xmax"] > bounds.xmax
+        or row["ymin"] < bounds.ymin or row["ymax"] > bounds.ymax
+    ):
+        raise IncrementalRebuildRequired(
+            f"appended instances ([{row['xmin']}, {row['ymin']}] .. "
+            f"[{row['xmax']}, {row['ymax']}]) fall outside the recorded "
+            f"root bounds {bounds.bbox}; tile keys would change meaning — "
+            "run a full re-export"
+        )
+
+
+def dirty_tiles(old_assigned: DataFrame, new_assigned: DataFrame) -> DataFrame:
+    """Distinct (level, x, y) whose member set changed between the two
+    assignments: one full-outer join on the instance key. A tile is dirty
+    when any instance is new to it, left it, or is new to the corpus."""
+    o = old_assigned.select(
+        "url", *[F.col(c).alias(f"_o_{c}") for c in TILE_KEY]
+    )
+    n = new_assigned.select(
+        "url", *[F.col(c).alias(f"_n_{c}") for c in TILE_KEY]
+    )
+    j = o.join(n, "url", "full_outer")
+    moved = j.filter(
+        F.col("_o_level").isNull()
+        | F.col("_n_level").isNull()
+        | (F.col("_o_level") != F.col("_n_level"))
+        | (F.col("_o_x") != F.col("_n_x"))
+        | (F.col("_o_y") != F.col("_n_y"))
+    )
+    old_side = moved.filter(F.col("_o_level").isNotNull()).select(
+        *[F.col(f"_o_{c}").alias(c) for c in TILE_KEY]
+    )
+    new_side = moved.filter(F.col("_n_level").isNotNull()).select(
+        *[F.col(f"_n_{c}").alias(c) for c in TILE_KEY]
+    )
+    return old_side.unionByName(new_side).distinct()
+
+
+def incremental_append(
+    new_pages: DataFrame,
+    output_dir: str,
+    checkpoint_dir: str | None = None,
+    model_glbs: dict | None = None,
+    opts: ExportOptions | None = None,
+) -> dict:
+    """Apply an append batch to an existing export; returns a summary with
+    the dirty-tile economics (``n_dirty_tiles`` vs ``n_content_tiles``)."""
+    spark = new_pages.sparkSession
+    ckpt_root = checkpoint_dir or os.path.join(output_dir, "_checkpoints")
+    ckpt = CheckpointManager(spark, ckpt_root)
+    if not (
+        ckpt.is_complete("stage0_instances")
+        and ckpt.is_complete("stage3_assigned")
+    ):
+        raise IncrementalRebuildRequired(
+            f"base export under {ckpt_root} is incomplete "
+            "(stage0/stage3 checkpoints missing)"
+        )
+    meta = _load_meta(ckpt_root)
+    manifest_probe = os.path.join(ckpt_root, "_sink_manifests", "content")
+    if not os.path.isdir(manifest_probe):
+        raise IncrementalRebuildRequired(
+            f"no content sink manifest under {manifest_probe}: the base "
+            "export ran with write_content=False — nothing to append to"
+        )
+    bounds = Bounds(*meta["bounds"])
+    subtree_levels = meta.get("subtree_levels", 2)
+    if opts is None:
+        rec = dict(meta["opts"])
+        rec["boundingvolume_heights"] = tuple(rec["boundingvolume_heights"])
+        opts = ExportOptions(**rec)
+    else:
+        _check_opts(meta, opts)
+
+    new_inst = stage0_instances(new_pages)
+    if opts.query:
+        new_inst = new_inst.filter(F.expr(opts.query))
+    _check_bounds(new_inst, bounds)
+
+    old_inst = ckpt.read("stage0_instances")
+    old_assigned = ckpt.read("stage3_assigned")
+    union_inst = old_inst.unionByName(new_inst.select(*old_inst.columns))
+
+    # 1-2: tree + assignment over the union (linear), then the key diff
+    tree = tiling.build_tile_tree(union_inst, bounds, opts)
+    new_assigned = tiling.assign_to_content_tiles(union_inst, tree, opts)
+    n_part = max(int(spark.conf.get("spark.sql.shuffle.partitions")), 1)
+    new_assigned = new_assigned.repartitionByRange(n_part, *TILE_KEY)
+
+    dirty = dirty_tiles(old_assigned, new_assigned).localCheckpoint()
+    n_dirty = dirty.count()
+
+    content_dir = os.path.join(output_dir, "content")
+    subtrees_dir = os.path.join(output_dir, "subtrees")
+    ext = opts.content_extension
+    manifest_dir = os.path.join(ckpt_root, "_sink_manifests", "content")
+
+    # 3: re-encode only dirty tiles' members
+    members = new_assigned.join(F.broadcast(dirty), TILE_KEY, "left_semi")
+    if opts.use_clustering:
+        members = cluster_tiles_salted(members, opts)
+    prepared_models = None
+    if model_glbs:
+        prepared_models, _ = enc.prepare_models(
+            model_glbs, opts, output_dir=content_dir
+        )
+    payloads = enc.encode_tiles(members, opts, model_glbs=prepared_models)
+    dirty_files = payloads.select(
+        F.format_string(f"%d_%d_%d.{ext}", "level", "x", "y").alias("relpath"),
+        "payload",
+    )
+    dirty_manifest_dir = os.path.join(
+        ckpt_root, "_sink_manifests", "_content_incr"
+    )
+    n_written = sinks.write_binary_files(
+        dirty_files, content_dir, manifest_path=dirty_manifest_dir
+    )
+
+    # removals: previously-written content files whose tile is gone or was
+    # re-encoded under a different key set. Old manifest rows minus (still
+    # current content tiles) minus (rows just rewritten).
+    current_files = new_assigned.select(
+        F.format_string(f"%d_%d_%d.{ext}", "level", "x", "y").alias("relpath")
+    ).distinct()
+    old_manifest = spark.read.parquet(manifest_dir)
+    removed = [
+        r["relpath"]
+        for r in old_manifest.select("relpath")
+        .join(current_files, "relpath", "left_anti")
+        .collect()
+    ]
+    for rel in removed:
+        try:
+            os.remove(os.path.join(content_dir, rel))
+        except FileNotFoundError:
+            pass
+
+    # merged manifest: old rows minus removed minus rewritten, plus the
+    # incremental rows — then swap into place
+    new_manifest = (
+        old_manifest.join(current_files, "relpath", "left_semi")
+        .join(
+            spark.read.parquet(dirty_manifest_dir).select("relpath"),
+            "relpath",
+            "left_anti",
+        )
+        .unionByName(spark.read.parquet(dirty_manifest_dir))
+    ).localCheckpoint()
+    n_content = new_manifest.count()
+    new_manifest.write.mode("overwrite").parquet(manifest_dir)
+
+    # 4: subtrees + tileset.json (tile-count scale; unchanged bytes are
+    # skipped on disk by the sink's content compare)
+    subs_df = subtree.build_subtrees_spark(tree.tiles, subtree_levels)
+    sub_files = subs_df.select(
+        F.format_string("%d_%d_%d.subtree", "root_level", "root_x", "root_y")
+        .alias("relpath"),
+        "payload",
+    )
+    n_subtree_files = sinks.write_binary_files(
+        sub_files, subtrees_dir,
+        manifest_path=os.path.join(ckpt_root, "_sink_manifests", "subtrees"),
+    )
+    first_roots = (
+        subs_df.select("root_level", "root_x", "root_y")
+        .orderBy("root_level", "root_x", "root_y")
+        .limit(2)
+        .collect()
+    )
+    inferred_subtree_levels = (
+        first_roots[1]["root_level"] if len(first_roots) > 1 else 2
+    )
+    avail_levels = (
+        tree.tiles.agg((F.max("level") + F.lit(1)).alias("al"))
+        .collect()[0]["al"]
+    )
+    region = bounds.to_region(radians=not opts.keep_projection)
+    ts_json = enc.tileset_json(
+        region, opts.geometric_error, avail_levels, inferred_subtree_levels,
+        use_i3dm=opts.use_i3dm, use_gpu_instancing=opts.use_gpu_instancing,
+        tileset_version=opts.tileset_version,
+        keep_projection=opts.keep_projection,
+    )
+    with open(os.path.join(output_dir, "tileset.json"), "w") as f:
+        f.write(ts_json)
+
+    # 5: refresh checkpoints to the post-append state so the next append
+    # diffs against it. TWO phases: first materialize every refreshed
+    # stage into a temp location (their lineages read the OLD checkpoint
+    # files, which must still exist), then swap all into place and mark
+    # done. Payload/reduce checkpoints are dropped — they describe the old
+    # member sets.
+    refreshed = {
+        "stage0_instances": union_inst,
+        "stage3_assigned": new_assigned,
+        "stage2_tiles": tree.tiles,
+    }
+    tmps = {
+        stage: _stage_to_tmp(ckpt, stage, df)
+        for stage, df in refreshed.items()
+    }
+    for stage, tmp in tmps.items():
+        _swap_in(ckpt, stage, tmp)
+    for stale in ("stage4_payloads", "stage4_reduced", "stage5_subtrees",
+                  "stage1_encoded"):
+        _drop_stage(ckpt, stale)
+
+    return {
+        # union_inst's lineage read the PRE-swap checkpoint files; count
+        # from the refreshed checkpoint instead
+        "n_instances": ckpt.read("stage0_instances").count(),
+        "n_new_instances": new_inst.count(),
+        "n_dirty_tiles": n_dirty,
+        "n_rewritten_files": n_written,
+        "n_removed_files": len(removed),
+        "n_content_tiles": n_content,
+        "n_subtree_files": n_subtree_files,
+        "available_levels": avail_levels,
+    }
+
+
+def _stage_to_tmp(ckpt: CheckpointManager, stage: str, df: DataFrame) -> str:
+    """Materialize the refreshed stage beside its final path (the df's
+    lineage may read the CURRENT checkpoint files — they must survive
+    until every refreshed stage is written)."""
+    tmp = ckpt._stage_path(stage) + "._incr"
+    df.write.mode("overwrite").format(ckpt.fmt).save(tmp)
+    return tmp
+
+
+def _swap_in(ckpt: CheckpointManager, stage: str, tmp: str) -> None:
+    """Replace the stage checkpoint with the temp materialization and mark
+    done (single-writer pipeline; crash between swaps leaves a state the
+    next full run_export rebuilds from its own fingerprints)."""
+    import shutil
+
+    out = ckpt.spark.read.format(ckpt.fmt).load(tmp)
+    out.write.mode("overwrite").format(ckpt.fmt).save(ckpt._stage_path(stage))
+    shutil.rmtree(tmp, ignore_errors=True)
+    n = ckpt.read(stage).count()
+    os.makedirs(os.path.dirname(ckpt._done_marker(stage)), exist_ok=True)
+    with open(ckpt._done_marker(stage), "w") as f:
+        json.dump({"stage": stage, "n_rows": n, "incremental": True,
+                   "input_fingerprint": ""}, f)
+
+
+def _drop_stage(ckpt: CheckpointManager, stage: str) -> None:
+    import shutil
+
+    shutil.rmtree(ckpt._stage_path(stage), ignore_errors=True)
+    try:
+        os.remove(ckpt._done_marker(stage))
+    except FileNotFoundError:
+        pass

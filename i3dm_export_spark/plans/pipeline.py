@@ -259,6 +259,24 @@ def run_export(
     os.makedirs(content_dir, exist_ok=True)
     os.makedirs(subtrees_dir, exist_ok=True)
 
+    # persist the export frame for incremental appends (plans/incremental):
+    # the root bounds pin tile-key semantics, the opts snapshot guards
+    # against appending under different export semantics
+    import dataclasses as _dc
+    import json as _json
+
+    with open(os.path.join(ckpt.root, "_export_meta.json"), "w") as f:
+        _json.dump(
+            {
+                "bounds": [bounds.xmin, bounds.ymin, bounds.xmax,
+                           bounds.ymax, bounds.zmin, bounds.zmax],
+                "subtree_levels": subtree_levels,
+                "opts": {k: (list(v) if isinstance(v, tuple) else v)
+                         for k, v in _dc.asdict(opts).items()},
+            },
+            f,
+        )
+
     prepared_models = None
     if model_glbs:
         prepared_models, _textures = enc.prepare_models(

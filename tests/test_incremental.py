@@ -1,0 +1,143 @@
+"""Incremental append (plans/incremental.py): byte parity with a
+from-scratch export of the union, dirty-tile economics (untouched files
+stay untouched on disk), checkpoint refresh across successive appends,
+and the loud degradation paths."""
+
+import json
+import os
+
+import pytest
+
+from i3dm_export_spark.config import Bounds, ExportOptions
+from i3dm_export_spark.plans.incremental import (
+    IncrementalRebuildRequired,
+    incremental_append,
+)
+from i3dm_export_spark.plans.pipeline import run_export
+from i3dm_export_spark.sources.pages import DOCS_BBOX, pages_df
+
+BB = Bounds(*DOCS_BBOX)
+OPTS = ExportOptions(max_features_per_tile=60, max_level=8, use_i3dm=True)
+
+
+def _split(spark, n_total, n_base):
+    """Deterministic disjoint base/append batches: the synthesized pages
+    are a pure function of the row index, so filtering the SAME n_total
+    frame by url reproduces an exact partition of the union."""
+    full = pages_df(spark, n_total)
+    urls = sorted(r["url"] for r in full.select("url").collect())
+    cut = urls[n_base]
+    return full.filter(f"url < '{cut}'"), full.filter(f"url >= '{cut}'"), full
+
+
+def _tree_files(root):
+    out = {}
+    for sub in ("content", "subtrees"):
+        d = os.path.join(root, sub)
+        for fn in sorted(os.listdir(d)):
+            with open(os.path.join(d, fn), "rb") as f:
+                out[f"{sub}/{fn}"] = f.read()
+    with open(os.path.join(root, "tileset.json")) as f:
+        out["tileset.json"] = f.read()
+    return out
+
+
+class TestIncrementalParity:
+    def test_append_matches_full_rebuild_bytes(self, spark, tmp_path):
+        base, batch, full = _split(spark, 900, 750)
+
+        out_full = str(tmp_path / "full")
+        run_export(full, OPTS, out_full, bounds=BB)
+
+        out_incr = str(tmp_path / "incr")
+        run_export(base, OPTS, out_incr, bounds=BB)
+
+        # snapshot mtimes before the append to prove clean files untouched
+        pre_mtime = {
+            fn: os.stat(os.path.join(out_incr, "content", fn)).st_mtime_ns
+            for fn in os.listdir(os.path.join(out_incr, "content"))
+        }
+
+        summary = incremental_append(batch, out_incr)
+
+        want = _tree_files(out_full)
+        got = _tree_files(out_incr)
+        assert set(want) == set(got)
+        diff = [k for k in want if want[k] != got[k]]
+        assert diff == []
+
+        # economics: the localized append must not re-encode everything
+        assert 0 < summary["n_dirty_tiles"] < summary["n_content_tiles"]
+        untouched = [
+            fn
+            for fn, m in pre_mtime.items()
+            if os.path.exists(os.path.join(out_incr, "content", fn))
+            and os.stat(os.path.join(out_incr, "content", fn)).st_mtime_ns == m
+        ]
+        assert untouched, "every pre-existing tile file was rewritten"
+
+    def test_two_successive_appends(self, spark, tmp_path):
+        """The checkpoint refresh must leave a diffable state: A + B + C
+        equals a from-scratch A∪B∪C."""
+        full = pages_df(spark, 1000)
+        urls = sorted(r["url"] for r in full.select("url").collect())
+        a = full.filter(f"url < '{urls[800]}'")
+        b = full.filter(f"url >= '{urls[800]}' and url < '{urls[920]}'")
+        c = full.filter(f"url >= '{urls[920]}'")
+
+        out_full = str(tmp_path / "full")
+        run_export(full, OPTS, out_full, bounds=BB)
+
+        out_incr = str(tmp_path / "incr")
+        run_export(a, OPTS, out_incr, bounds=BB)
+        incremental_append(b, out_incr)
+        s2 = incremental_append(c, out_incr)
+
+        assert _tree_files(out_full) == _tree_files(out_incr)
+        assert s2["n_instances"] == 1000
+
+    def test_manifest_stays_consistent(self, spark, tmp_path):
+        """After an append, the merged manifest matches the on-disk file
+        set exactly (names and byte sizes)."""
+        base, batch, _ = _split(spark, 700, 600)
+        out = str(tmp_path / "o")
+        run_export(base, OPTS, out, bounds=BB)
+        incremental_append(batch, out)
+
+        mani = {
+            r["relpath"]: r["n_bytes"]
+            for r in spark.read.parquet(
+                os.path.join(out, "_checkpoints", "_sink_manifests", "content")
+            ).collect()
+        }
+        disk = {
+            fn: os.path.getsize(os.path.join(out, "content", fn))
+            for fn in os.listdir(os.path.join(out, "content"))
+            if fn.endswith(".i3dm")
+        }
+        assert mani == disk
+
+
+class TestIncrementalGuards:
+    def test_out_of_bounds_append_degrades_loudly(self, spark, tmp_path):
+        base, batch, _ = _split(spark, 500, 450)
+        out = str(tmp_path / "o")
+        run_export(base, OPTS, out, bounds=BB)
+        shift = BB.xmax - BB.xmin + 1.0
+        rogue = batch.withColumn("lon", batch["lon"] + shift)
+        with pytest.raises(IncrementalRebuildRequired, match="outside"):
+            incremental_append(rogue, out)
+
+    def test_changed_opts_degrade_loudly(self, spark, tmp_path):
+        base, batch, _ = _split(spark, 500, 450)
+        out = str(tmp_path / "o")
+        run_export(base, OPTS, out, bounds=BB)
+        other = ExportOptions(max_features_per_tile=10, max_level=8,
+                              use_i3dm=True)
+        with pytest.raises(IncrementalRebuildRequired, match="options"):
+            incremental_append(batch, out, opts=other)
+
+    def test_missing_base_export_degrades_loudly(self, spark, tmp_path):
+        _, batch, _ = _split(spark, 500, 450)
+        with pytest.raises(IncrementalRebuildRequired):
+            incremental_append(batch, str(tmp_path / "nowhere"))
