@@ -84,7 +84,12 @@ def _run_py(code: str, *args: str, timeout: int = 900) -> str:
     return out.stdout + "\n" + out.stderr
 
 
-def run(cpus: int) -> dict:
+def _loadavg() -> float:
+    with open("/proc/loadavg") as f:
+        return float(f.read().split()[0])
+
+
+def run_once(cpus: int) -> dict:
     out = _run_py(
         RUNNER.format(repo=REPO, stage_dir=STAGE_DIR, max_features=MAX_FEATURES),
         str(cpus),
@@ -93,6 +98,25 @@ def run(cpus: int) -> dict:
         if line.startswith("RESULT "):
             return json.loads(line[len("RESULT "):])
     raise RuntimeError(f"no RESULT from cpus={cpus}:\n{out[-3000:]}")
+
+
+def run(cpus: int) -> dict:
+    """Best wall over SCALING_TRIALS runs (default 2): this box carries
+    bursty co-tenant load (round-3 probe: identical legs swung 2-30x
+    minutes apart), so the minimum estimates the engine, not the
+    neighbors. Per-trial load averages are recorded for audit."""
+    trials = max(1, int(os.environ.get("SCALING_TRIALS", 2)))
+    best = None
+    audit = []
+    for _ in range(trials):
+        la0 = _loadavg()
+        r = run_once(cpus)
+        audit.append({"sec": r["sec"], "loadavg_start": la0,
+                      "loadavg_end": _loadavg()})
+        if best is None or r["sec"] < best["sec"]:
+            best = r
+    best["trials"] = audit
+    return best
 
 
 def cpu_ceiling_probe() -> dict:
