@@ -65,6 +65,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--master", default=None,
                    help="Spark master (default local[all cores])")
     p.add_argument("--checkpoint_dir", default=None)
+    p.add_argument("--append", action="store_true",
+                   help="treat -c as a NEW batch to append to the existing "
+                   "export at -o: only dirty tiles re-encode "
+                   "(plans/incremental). Export options are taken from the "
+                   "base export's recorded snapshot; geometry-affecting "
+                   "flags on this invocation are ignored")
     # ---- JDBC/PostGIS ingest (engaged when -c is a connection string) ----
     p.add_argument("--jdbc_partition_column", default=None,
                    help="numeric column for parallel JDBC range cursors")
@@ -235,12 +241,21 @@ def main(argv=None, spark=None) -> dict:
             if not path:
                 raise SystemExit(f"--model expects NAME=GLB_PATH, got {spec!r}")
             model_glbs[name] = path
-        summary = run_export(
-            pages, opts, args.output,
-            checkpoint_dir=args.checkpoint_dir,
-            subtree_levels=args.subtree_levels,
-            model_glbs=model_glbs or None,
-        )
+        if args.append:
+            from .plans.incremental import incremental_append
+
+            summary = incremental_append(
+                pages, args.output,
+                checkpoint_dir=args.checkpoint_dir,
+                model_glbs=model_glbs or None,
+            )
+        else:
+            summary = run_export(
+                pages, opts, args.output,
+                checkpoint_dir=args.checkpoint_dir,
+                subtree_levels=args.subtree_levels,
+                model_glbs=model_glbs or None,
+            )
         print(json.dumps(summary, default=str))
         return summary
     finally:

@@ -141,3 +141,74 @@ class TestIncrementalGuards:
         _, batch, _ = _split(spark, 500, 450)
         with pytest.raises(IncrementalRebuildRequired):
             incremental_append(batch, str(tmp_path / "nowhere"))
+
+
+class TestCliAppend:
+    def test_cli_append_flag(self, spark, tmp_path):
+        """--append routes -c through incremental_append against the
+        recorded base export; bytes match a from-scratch CLI export of
+        the union."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from i3dm_export_spark.__main__ import main
+        from i3dm_export_spark.sources.pages import synthesize_pages
+
+        pdf = synthesize_pages(600)
+        lo_q = pdf["lon"].quantile(0.2), pdf["lon"].quantile(0.8)
+        la_q = pdf["lat"].quantile(0.2), pdf["lat"].quantile(0.8)
+        interior = (
+            (pdf["lon"] > lo_q[0]) & (pdf["lon"] < lo_q[1])
+            & (pdf["lat"] > la_q[0]) & (pdf["lat"] < la_q[1])
+        )
+        batch = pdf[interior].head(40)
+        base = pdf.drop(batch.index)
+
+        p_full = str(tmp_path / "full.parquet")
+        p_base = str(tmp_path / "base.parquet")
+        p_batch = str(tmp_path / "batch.parquet")
+        schema = pa.schema([
+            ("url", pa.string()), ("warc_ts", pa.timestamp("us")),
+            ("html", pa.binary()), ("text", pa.string()),
+            ("lang", pa.string()), ("lon", pa.float64()),
+            ("lat", pa.float64()), ("z", pa.float64()),
+            ("scale", pa.float64()), ("yaw", pa.float64()),
+            ("pitch", pa.float64()), ("roll", pa.float64()),
+            ("model", pa.string()), ("tags", pa.string()),
+        ])
+        for frame, path in ((pdf, p_full), (base, p_base), (batch, p_batch)):
+            # Spark cannot read TIMESTAMP(NANOS) and the all-None tags
+            # column must stay a STRING column, hence the explicit schema
+            frame = frame.assign(warc_ts=frame["warc_ts"].dt.tz_convert("UTC")
+                               .dt.tz_localize(None).astype("datetime64[us]"))
+            pq.write_table(
+                pa.Table.from_pandas(frame, preserve_index=False,
+                                     schema=schema), path
+            )
+
+        common = ["--use_i3dm", "--max_features_per_tile", "60",
+                  "--max_level", "8"]
+        out_full = str(tmp_path / "out_full")
+        main(["-c", p_full, "-o", out_full, *common], spark=spark)
+
+        out_incr = str(tmp_path / "out_incr")
+        main(["-c", p_base, "-o", out_incr, *common], spark=spark)
+        summary = main(["-c", p_batch, "-o", out_incr, "--append", *common],
+                       spark=spark)
+        assert summary["n_new_instances"] == 40
+        assert summary["n_instances"] == 600
+
+        # content parity is the sharp check; tileset region derives from
+        # the BASE bounds (by design: appends never move the root), so
+        # compare content + subtree payload maps keyed by name
+        def files(root, sub):
+            d = os.path.join(root, sub)
+            return {
+                fn: open(os.path.join(d, fn), "rb").read()
+                for fn in sorted(os.listdir(d))
+            }
+
+        # full rebuild computed bounds from the union == base bounds here
+        # (the appended rows are interior), so full parity must hold
+        assert files(out_full, "content") == files(out_incr, "content")
+        assert files(out_full, "subtrees") == files(out_incr, "subtrees")
