@@ -1,0 +1,75 @@
+"""Streaming near-duplicate detection (engine extension; no reference
+analog — the batch twin is operators/dedup.minhash_signatures +
+lsh_candidate_pairs).
+
+A crawl stream wants dup flags AT INGEST, not in a nightly batch join:
+every arriving document either claims its MinHash-LSH buckets or collides
+with a bucket some earlier document claimed. The banded-MinHash signature
+step is a shuffle-free per-doc projection (identical code path to the
+batch operator, so streaming and batch agree bit-for-bit on bucket
+membership); the only stateful piece is "first document seen per (band,
+signature) bucket", kept in ``applyInPandasWithState`` keyed state.
+
+Scale shape: state size is O(distinct buckets), NOT O(documents) — each
+bucket stores one doc id. Arrivals shuffle once on the bucket key (the
+same key the batch LSH join uses). Emitted rows are (doc, dup_of, band)
+candidate flags; exact-similarity verification stays a downstream batch
+concern, exactly as in the batch pipeline (candidates -> ngram_jaccard /
+embedding cosine re-rank).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from ..operators.dedup import minhash_signatures
+
+_OUT_SCHEMA = "doc_id string, dup_of string, band bigint"
+_STATE_SCHEMA = "first_id string"
+
+
+def streaming_near_dup(
+    docs: DataFrame,
+    n_bands: int = 8,
+    rows_per_band: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 5,
+) -> DataFrame:
+    """(doc_id, dup_of, band) candidate flags for a streaming docs frame.
+
+    ``dup_of`` is the FIRST document that claimed the colliding bucket
+    (first-seen across micro-batches via keyed state; url/id-ordered
+    within a batch so replays are deterministic). A document colliding in
+    k bands emits k rows — ``dropDuplicates(["doc_id","dup_of"])``
+    downstream if one flag per pair is wanted."""
+    from pyspark.sql import functions as F
+
+    sigs = minhash_signatures(
+        docs, n_bands=n_bands, rows_per_band=rows_per_band,
+        id_col=id_col, text_col=text_col, shingle_n=shingle_n,
+    ).select(F.col(id_col).cast("string").alias("_id_str"), "band", "sig")
+
+    def _track(key, pdf_iter, state: GroupState):
+        band = key[0]
+        first = state.get[0] if state.exists else None
+        rows: list[tuple[str, str, int]] = []
+        for pdf in pdf_iter:
+            for doc in sorted(pdf["_id_str"]):
+                if first is None:
+                    first = doc
+                elif doc != first:
+                    rows.append((doc, first, band))
+        if first is not None:
+            state.update((first,))
+        yield pd.DataFrame(rows, columns=["doc_id", "dup_of", "band"])
+
+    return (
+        sigs.groupBy("band", "sig")
+        .applyInPandasWithState(
+            _track, _OUT_SCHEMA, _STATE_SCHEMA, "append",
+            GroupStateTimeout.NoTimeout,
+        )
+    )
