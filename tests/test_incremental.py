@@ -212,3 +212,40 @@ class TestCliAppend:
         # (the appended rows are interior), so full parity must hold
         assert files(out_full, "content") == files(out_incr, "content")
         assert files(out_full, "subtrees") == files(out_incr, "subtrees")
+
+
+class TestDirtyTilesProperty:
+    from hypothesis import given, settings, strategies as st
+
+    _assign = st.dictionaries(
+        st.integers(min_value=0, max_value=30).map(lambda i: f"u{i}"),
+        st.tuples(st.integers(2, 3), st.integers(0, 3), st.integers(0, 3)),
+        max_size=20,
+    )
+
+    @given(old=_assign, new=_assign)
+    @settings(max_examples=8, deadline=None)
+    def test_dirty_set_is_exactly_changed_keys(self, spark, old, new):
+        """dirty_tiles == the tiles (old and new side) of every url whose
+        assignment changed, appeared, or disappeared — no more, no less."""
+        from i3dm_export_spark.plans.incremental import dirty_tiles
+
+        def df(d):
+            rows = [(u, l, x, y) for u, (l, x, y) in sorted(d.items())]
+            return spark.createDataFrame(
+                rows or [("_", 0, 0, 0)],
+                "url string, level int, x int, y int",
+            ).filter("url != '_'")
+
+        got = {
+            (r["level"], r["x"], r["y"])
+            for r in dirty_tiles(df(old), df(new)).collect()
+        }
+        want = set()
+        for u in set(old) | set(new):
+            if old.get(u) != new.get(u):
+                if u in old:
+                    want.add(old[u])
+                if u in new:
+                    want.add(new[u])
+        assert got == want
