@@ -249,3 +249,21 @@ class TestDirtyTilesProperty:
                 if u in new:
                     want.add(new[u])
         assert got == want
+
+
+class TestIncrementalClusteredParity:
+    def test_append_matches_full_rebuild_with_clustering(self, spark, tmp_path):
+        """The LOD-reduce path (seeded per-tile k-means + salting) is a
+        deterministic function of each tile's member set, so dirty-tile
+        re-encode under use_clustering must still match a full rebuild."""
+        opts = ExportOptions(max_features_per_tile=40, max_level=8,
+                             use_i3dm=True, use_clustering=True)
+        base, batch, full = _split(spark, 700, 600)
+
+        out_full = str(tmp_path / "full")
+        run_export(full, opts, out_full, bounds=BB)
+        out_incr = str(tmp_path / "incr")
+        run_export(base, opts, out_incr, bounds=BB)
+        incremental_append(batch, out_incr)
+
+        assert _tree_files(out_full) == _tree_files(out_incr)
