@@ -187,6 +187,23 @@ def incremental_append(
 
     old_inst = ckpt.read("stage0_instances")
     old_assigned = ckpt.read("stage3_assigned")
+
+    # url is the diff key, so an appended url that ALREADY exists would
+    # alias its old row in the assignment diff: if both copies land in the
+    # same tile the diff sees "unchanged" and the tile never re-encodes —
+    # silently dropping the second instance a full rebuild would include.
+    # Broadcast the (small) batch's url set against the corpus and degrade
+    # loudly instead.
+    n_overlap = old_assigned.select("url").join(
+        F.broadcast(new_inst.select("url").distinct()), "url", "left_semi"
+    ).count()
+    if n_overlap:
+        raise IncrementalRebuildRequired(
+            f"{n_overlap} appended url(s) already exist in the base export; "
+            "incremental appends are append-only on the url key — dedupe "
+            "the batch or run a full re-export for upserts"
+        )
+
     union_inst = old_inst.unionByName(new_inst.select(*old_inst.columns))
 
     # 1-2: tree + assignment over the union (linear), then the key diff

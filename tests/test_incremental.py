@@ -267,3 +267,51 @@ class TestIncrementalClusteredParity:
         incremental_append(batch, out_incr)
 
         assert _tree_files(out_full) == _tree_files(out_incr)
+
+
+class TestIncrementalGpuParity:
+    def test_append_matches_full_rebuild_gpu_glb(self, spark, tmp_path):
+        """GPU-glb payloads (EXT_mesh_gpu_instancing + binary property
+        tables) are also a deterministic function of the member set."""
+        opts = ExportOptions(max_features_per_tile=60, max_level=8,
+                             use_gpu_instancing=True)
+        base, batch, full = _split(spark, 600, 520)
+
+        out_full = str(tmp_path / "full")
+        run_export(full, opts, out_full, bounds=BB)
+        out_incr = str(tmp_path / "incr")
+        run_export(base, opts, out_incr, bounds=BB)
+        incremental_append(batch, out_incr)
+
+        assert _tree_files(out_full) == _tree_files(out_incr)
+
+
+class TestIncrementalEdgeCases:
+    def test_duplicate_url_append_degrades_loudly(self, spark, tmp_path):
+        """An appended url that already exists would alias its old row in
+        the assignment diff (same-tile copies look 'unchanged' and the
+        tile would silently keep one instance); must raise instead."""
+        base, batch, _ = _split(spark, 500, 450)
+        out = str(tmp_path / "o")
+        run_export(base, OPTS, out, bounds=BB)
+        overlapping = base.limit(5).unionByName(batch)
+        with pytest.raises(IncrementalRebuildRequired, match="already exist"):
+            incremental_append(overlapping, out)
+
+    def test_empty_batch_is_a_noop(self, spark, tmp_path):
+        base = pages_df(spark, 400)
+        batch = base.filter("url > 'z'")  # empty
+        out = str(tmp_path / "o")
+        run_export(base, OPTS, out, bounds=BB)
+        pre = {
+            fn: os.stat(os.path.join(out, "content", fn)).st_mtime_ns
+            for fn in os.listdir(os.path.join(out, "content"))
+        }
+        summary = incremental_append(batch, out)
+        assert summary["n_dirty_tiles"] == 0
+        assert summary["n_new_instances"] == 0
+        post = {
+            fn: os.stat(os.path.join(out, "content", fn)).st_mtime_ns
+            for fn in os.listdir(os.path.join(out, "content"))
+        }
+        assert pre == post
