@@ -42,6 +42,14 @@ Preconditions (enforced):
 
 No reference analog: the reference re-runs its whole pipeline per
 invocation (src/Program.cs). This is engine-only scale machinery.
+
+Scale audit: the driver touches only the dirty-tile KEY set (broadcast to
+the member semi-join) and the removed-file relpath list — both
+proportional to the append's dirty REGION, never the corpus. A batch so
+large that its dirty set approaches the whole tile table gains nothing
+over ``run_export`` (which this module will happily lose to in that
+regime — the summary's ``n_dirty_tiles``/``n_content_tiles`` ratio tells
+the operator which side they're on).
 """
 
 from __future__ import annotations
