@@ -235,6 +235,25 @@ def subtree_tile_pairs(tiles, subtree_levels: int):
     return own.unionByName(parent)
 
 
+def affected_subtree_roots(keys, subtree_levels: int):
+    """Distinct (root_level, root_x, root_y) whose bitstreams read ANY of
+    ``keys`` (a DataFrame of level/x/y tile keys): each key's own subtree
+    root plus, for boundary tiles, the parent subtree root that records
+    the key in its childSubtreeAvailability. Feeding this to
+    :func:`build_subtrees_spark` ``roots=`` restricts assembly to the
+    subtrees an incremental append can have changed."""
+    from pyspark.sql import functions as F
+
+    t = keys.select(
+        "level", "x", "y",
+        F.lit(True).alias("content_available"),
+        F.lit(1).cast("bigint").alias("n_instances"),
+    )
+    return subtree_tile_pairs(t, subtree_levels).select(
+        "root_level", "root_x", "root_y"
+    ).distinct()
+
+
 _SUBTREE_SCHEMA = (
     "root_level int, root_x long, root_y long, "
     "tile_bits string, content_bits string, child_bits string, payload binary"
@@ -257,7 +276,8 @@ def _assemble_root_group(pdf: pd.DataFrame, s: int):
 
 
 def build_subtrees_spark(tiles, subtree_levels: int = 2,
-                         num_partitions: int | None = None):
+                         num_partitions: int | None = None,
+                         roots=None):
     """T4 at scale: all subtree files assembled IN EXECUTORS.
 
     One shuffle of tile rows (never instances) hash-partitioned by subtree
@@ -272,7 +292,16 @@ def build_subtrees_spark(tiles, subtree_levels: int = 2,
     Returns a DataFrame (root_level, root_x, root_y, tile_bits,
     content_bits, child_bits, payload) with one row per subtree file,
     bit-identical to :func:`build_subtrees_pandas` (parity-tested).
+
+    ``roots`` (optional DataFrame of root_level/root_x/root_y) restricts
+    assembly to those subtrees — the tile-row shuffle and every payload
+    build then scale with the requested root set (an incremental append's
+    dirty region), not the corpus tree. The filter is a broadcast
+    semi-join BEFORE the repartition, so unrequested tile rows never
+    shuffle.
     """
+    from pyspark.sql import functions as F
+
     from ..packaging import ensure_shipped
 
     spark = tiles.sparkSession
@@ -281,9 +310,14 @@ def build_subtrees_spark(tiles, subtree_levels: int = 2,
     n_parts = num_partitions or max(
         int(spark.conf.get("spark.sql.shuffle.partitions")), 1
     )
-    pairs = subtree_tile_pairs(tiles, s).repartition(
-        n_parts, "root_level", "root_x", "root_y"
-    )
+    pairs = subtree_tile_pairs(tiles, s)
+    if roots is not None:
+        pairs = pairs.join(
+            F.broadcast(roots.select("root_level", "root_x", "root_y")),
+            ["root_level", "root_x", "root_y"],
+            "left_semi",
+        )
+    pairs = pairs.repartition(n_parts, "root_level", "root_x", "root_y")
     cols = ["root_level", "root_x", "root_y", "tile_bits",
             "content_bits", "child_bits", "payload"]
 

@@ -16,9 +16,10 @@ and leaf assignment are cheap linear scans. This module therefore:
    re-assigned instances), writes their content files (atomic replace),
    deletes content files whose tile stopped being a content tile, and
    merges the sink manifest;
-4. reassembles subtree availability files (tile-count scale, cheap) and
-   rewrites ``tileset.json`` — the executor sink's content-compare skips
-   the unchanged subtree bytes on disk;
+4. reassembles ONLY the subtrees whose bit-relevant tile rows changed
+   (diffed on the exact columns the bitstreams consume) and rewrites
+   ``tileset.json`` — the tile-row shuffle and payload builds scale with
+   the dirty region, and unchanged subtree files are never touched;
 5. refreshes the stage checkpoints so the NEXT append diffs against the
    new state.
 
@@ -152,6 +153,30 @@ def dirty_tiles(old_assigned: DataFrame, new_assigned: DataFrame) -> DataFrame:
     return old_side.unionByName(new_side).distinct()
 
 
+def _changed_tile_keys(old_tiles: DataFrame, new_tiles: DataFrame) -> DataFrame:
+    """Tile keys whose subtree-bit-relevant state differs between the two
+    tile tables. Subtree bitstreams read exactly (tile existence,
+    content_available, n_instances > 0) per tile — robust to any future
+    split-rule change, because the diff is on the consumed columns, not on
+    assumptions about how appends move counts."""
+    def proj(df: DataFrame, p: str) -> DataFrame:
+        return df.select(
+            "level", "x", "y",
+            F.col("content_available").alias(f"{p}c"),
+            (F.col("n_instances") > 0).alias(f"{p}h"),
+        )
+
+    j = proj(old_tiles, "_o").join(
+        proj(new_tiles, "_n"), ["level", "x", "y"], "full_outer"
+    )
+    return j.filter(
+        F.col("_oc").isNull()
+        | F.col("_nc").isNull()
+        | (F.col("_oc") != F.col("_nc"))
+        | (F.col("_oh") != F.col("_nh"))
+    ).select("level", "x", "y")
+
+
 def incremental_append(
     new_pages: DataFrame,
     output_dir: str,
@@ -282,26 +307,50 @@ def incremental_append(
     n_content = new_manifest.count()
     new_manifest.write.mode("overwrite").parquet(manifest_dir)
 
-    # 4: subtrees + tileset.json (tile-count scale; unchanged bytes are
-    # skipped on disk by the sink's content compare)
-    subs_df = subtree.build_subtrees_spark(tree.tiles, subtree_levels)
+    # 4: subtrees + tileset.json. Reassemble ONLY subtrees whose
+    # bit-relevant tile rows changed (new tile key, content flag flip, or
+    # emptiness flip) — every other subtree's bytes on disk are already
+    # the union-tree bytes, so assembly cost tracks the append's dirty
+    # REGION, not the corpus tree. Appends never remove content, so no
+    # subtree file is ever deleted; the manifest is merged like content.
+    old_tiles = ckpt.read("stage2_tiles")
+    changed_keys = _changed_tile_keys(old_tiles, tree.tiles)
+    affected_roots = subtree.affected_subtree_roots(
+        changed_keys, subtree_levels
+    ).localCheckpoint()
+    subs_df = subtree.build_subtrees_spark(
+        tree.tiles, subtree_levels, roots=affected_roots
+    )
     sub_files = subs_df.select(
         F.format_string("%d_%d_%d.subtree", "root_level", "root_x", "root_y")
         .alias("relpath"),
         "payload",
     )
-    n_subtree_files = sinks.write_binary_files(
-        sub_files, subtrees_dir,
-        manifest_path=os.path.join(ckpt_root, "_sink_manifests", "subtrees"),
-    )
-    first_roots = (
-        subs_df.select("root_level", "root_x", "root_y")
-        .orderBy("root_level", "root_x", "root_y")
-        .limit(2)
-        .collect()
+    sub_manifest_dir = os.path.join(ckpt_root, "_sink_manifests", "subtrees")
+    sub_incr_dir = os.path.join(ckpt_root, "_sink_manifests", "_subtrees_incr")
+    sinks.write_binary_files(sub_files, subtrees_dir,
+                             manifest_path=sub_incr_dir)
+    sub_incr = spark.read.parquet(sub_incr_dir)
+    merged_sub = (
+        spark.read.parquet(sub_manifest_dir)
+        .join(sub_incr.select("relpath"), "relpath", "left_anti")
+        .unionByName(sub_incr)
+    ).localCheckpoint()
+    n_subtree_files = merged_sub.count()
+    merged_sub.write.mode("overwrite").parquet(sub_manifest_dir)
+
+    # subtreeLevels inference (reference src/Program.cs:151: level of the
+    # 2nd subtree in sorted key order, else 2) from the union tree — the
+    # level-0 root is unique, so the 2nd sorted subtree sits at the 2nd
+    # distinct root level whenever one exists.
+    root_levels = (
+        tree.tiles.filter(F.col("n_instances") > 0)
+        .select((F.col("level") - F.col("level") % subtree_levels)
+                .alias("rl"))
+        .distinct().orderBy("rl").limit(2).collect()
     )
     inferred_subtree_levels = (
-        first_roots[1]["root_level"] if len(first_roots) > 1 else 2
+        int(root_levels[1]["rl"]) if len(root_levels) > 1 else 2
     )
     avail_levels = (
         tree.tiles.agg((F.max("level") + F.lit(1)).alias("al"))
@@ -348,6 +397,7 @@ def incremental_append(
         "n_removed_files": len(removed),
         "n_content_tiles": n_content,
         "n_subtree_files": n_subtree_files,
+        "n_dirty_subtrees": affected_roots.count(),
         "available_levels": avail_levels,
     }
 

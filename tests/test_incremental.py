@@ -118,6 +118,40 @@ class TestIncrementalParity:
         assert mani == disk
 
 
+    def test_localized_append_reassembles_few_subtrees(self, spark, tmp_path):
+        """A spatially-localized append must reassemble only the subtrees
+        whose bit-relevant tile rows changed — a strict subset — while
+        still matching the from-scratch union bytes, and the subtrees
+        manifest must keep covering every file on disk."""
+        full = pages_df(spark, 900)
+        base = full.filter("lon < 34.09")
+        batch = full.filter("lon >= 34.09")
+
+        out_full = str(tmp_path / "full")
+        run_export(full, OPTS, out_full, bounds=BB)
+
+        out_incr = str(tmp_path / "incr")
+        run_export(base, OPTS, out_incr, bounds=BB)
+
+        summary = incremental_append(batch, out_incr)
+
+        assert _tree_files(out_full) == _tree_files(out_incr)
+        assert 0 < summary["n_dirty_subtrees"] < summary["n_subtree_files"]
+
+        mani = {
+            r["relpath"]: r["n_bytes"]
+            for r in spark.read.parquet(
+                os.path.join(out_incr, "_checkpoints", "_sink_manifests",
+                             "subtrees")
+            ).collect()
+        }
+        disk = {
+            fn: os.path.getsize(os.path.join(out_incr, "subtrees", fn))
+            for fn in os.listdir(os.path.join(out_incr, "subtrees"))
+        }
+        assert mani == disk
+
+
 class TestIncrementalGuards:
     def test_out_of_bounds_append_degrades_loudly(self, spark, tmp_path):
         base, batch, _ = _split(spark, 500, 450)
