@@ -150,6 +150,50 @@ def main() -> None:
     extras["e2e_instances_per_sec"] = round(n_instances / dt, 1)
     extras["e2e_content_files"] = summary["n_content_tiles"]
     extras["e2e_subtree_files"] = summary["n_subtree_files"]
+
+    # ---- incremental append: ~1% localized batch onto the e2e export ------
+    # (VERDICT r3 item 6: dirty-tile economics at bench scale). New urls
+    # beyond the base id range, remapped into a small interior box so the
+    # dirty region is LOCAL — the wall should sit far below a full
+    # re-export, with n_dirty_tiles << n_content_tiles. Single trial: an
+    # append consumes its base state (same urls again would refuse).
+    from pyspark.sql import functions as F
+
+    from i3dm_export_spark.plans.incremental import incremental_append
+
+    n_batch = max(N_EXPORT // 100, 1)
+    batch = (
+        pages_df_distributed(
+            spark, N_EXPORT + n_batch, scenario="A", partitions=CPUS
+        )
+        .filter(
+            F.col("url")
+            >= F.format_string("https://example.org/p/%08d", F.lit(N_EXPORT))
+        )
+        .withColumn(
+            "lon",
+            F.lit(34.04)
+            + F.pmod(F.xxhash64("url"), F.lit(100)).cast("double")
+            * F.lit(0.0002),
+        )
+        .withColumn(
+            "lat",
+            F.lit(44.04)
+            + F.pmod(F.xxhash64("url", F.lit(1)), F.lit(100)).cast("double")
+            * F.lit(0.0002),
+        )
+    )
+    t0 = time.perf_counter()
+    app = incremental_append(batch, e2e_dir)
+    dt = time.perf_counter() - t0
+    timings["incremental_append_1pct"] = round(dt, 3)
+    extras["append_new_instances"] = app["n_new_instances"]
+    extras["append_dirty_tiles"] = app["n_dirty_tiles"]
+    extras["append_content_tiles"] = app["n_content_tiles"]
+    extras["append_dirty_subtrees"] = app["n_dirty_subtrees"]
+    extras["append_speedup_vs_full"] = round(
+        timings["export_e2e_sinks"] / max(dt, 1e-9), 2
+    )
     shutil.rmtree(e2e_dir, ignore_errors=True)
 
     # ---- operator queries at the sf dir ------------------------------------

@@ -54,8 +54,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--use_external_model", action="store_true")
     p.add_argument("--use_clustering", action="store_true")
     # ---- engine extensions ----
-    p.add_argument("--source_epsg", type=int, default=4326,
-                   help="EPSG of input coordinates (reprojected at ingest)")
+    # default=None is a sentinel: an explicit flag (any spelling argparse
+    # accepts, incl. --source_epsg=NNNN and prefix abbreviations) always
+    # wins over the data-driven CRS sniff/probe; absent → sniff, else 4326
+    p.add_argument("--source_epsg", type=int, default=None,
+                   help="EPSG of input coordinates (reprojected at ingest); "
+                   "overrides the GeoParquet/JDBC CRS sniff. Default: "
+                   "sniffed from the data, else 4326")
     p.add_argument("--max_level", type=int, default=20)
     p.add_argument("--subtree_levels", type=int, default=2)
     p.add_argument("--model", action="append", default=[],
@@ -77,6 +82,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--jdbc_num_partitions", type=int, default=32)
     p.add_argument("--jdbc_lower_bound", type=int, default=None)
     p.add_argument("--jdbc_upper_bound", type=int, default=None)
+    p.add_argument("--jdbc_columns", default=None,
+                   help="comma-separated attribute columns to project from "
+                   "the JDBC table (default: url,scale,rotation,yaw,pitch,"
+                   "roll,model,tags); set this when the source table lacks "
+                   "one of the defaults")
     return p
 
 
@@ -177,7 +187,7 @@ def main(argv=None, spark=None) -> dict:
         use_external_model=args.use_external_model,
         tileset_version=args.tileset_version,
         output=args.output,
-        source_epsg=args.source_epsg,
+        source_epsg=args.source_epsg if args.source_epsg is not None else 4326,
         max_level=args.max_level,
     )
 
@@ -203,8 +213,12 @@ def main(argv=None, spark=None) -> dict:
                 num_partitions=args.jdbc_num_partitions,
                 lower_bound=args.jdbc_lower_bound,
                 upper_bound=args.jdbc_upper_bound,
+                extra_cols=(
+                    tuple(c.strip() for c in args.jdbc_columns.split(","))
+                    if args.jdbc_columns else None
+                ),
             )
-            if "--source_epsg" not in (argv or sys.argv[1:]):
+            if args.source_epsg is None:
                 import dataclasses
 
                 opts = dataclasses.replace(
@@ -226,9 +240,7 @@ def main(argv=None, spark=None) -> dict:
             epsg, primary_col = sniff_crs(in_path)
             if primary_col and geom_col == "geom":
                 geom_col = primary_col
-            if epsg is not None and "--source_epsg" not in (
-                argv or sys.argv[1:]
-            ):
+            if epsg is not None and args.source_epsg is None:
                 import dataclasses
 
                 opts = dataclasses.replace(opts, source_epsg=epsg)

@@ -17,16 +17,18 @@ from pyspark.sql import DataFrame, functions as F
 from ..config import Bounds
 
 
-def compute_bounds(
+def compute_raw_extent(
     df: DataFrame,
-    heights: tuple[float, float] = (0.0, 10.0),
     query: str = "",
     lon="lon",
     lat="lat",
     z="z",
-    clamp: bool = True,
-) -> Bounds:
-    """Min/max extent -> inflated, clamped, degeneracy-fixed root Bounds."""
+) -> tuple[float, float, float, float, float, float]:
+    """Pre-inflation data extent (xmin, ymin, xmax, ymax, zmin, zmax) —
+    one map-side-partial agg job. Recorded by run_export as the parity
+    anchor for incremental appends: a batch inside this box leaves a
+    recomputed union extent (and therefore every derived tile boundary
+    and the tileset region z-range) bit-identical."""
     if query:
         # P2 user predicate passthrough (reference src/Options.cs:25-26)
         df = df.filter(F.expr(query))
@@ -42,30 +44,35 @@ def compute_bounds(
         raise ValueError(
             "extent scan found no rows (empty table or over-restrictive query)"
         )
-    return derive_root_bounds(
-        row["xmin"], row["ymin"], row["xmax"], row["ymax"],
-        row["zmin"], row["zmax"], heights, clamp,
-    )
+    return (row["xmin"], row["ymin"], row["xmax"], row["ymax"],
+            row["zmin"], row["zmax"])
 
 
-def bounds_from_parquet_stats(
-    path: str | list[str],
+def compute_bounds(
+    df: DataFrame,
     heights: tuple[float, float] = (0.0, 10.0),
+    query: str = "",
+    lon="lon",
+    lat="lat",
+    z="z",
+    clamp: bool = True,
+) -> Bounds:
+    """Min/max extent -> inflated, clamped, degeneracy-fixed root Bounds."""
+    xmin, ymin, xmax, ymax, zmin, zmax = compute_raw_extent(
+        df, query=query, lon=lon, lat=lat, z=z
+    )
+    return derive_root_bounds(xmin, ymin, xmax, ymax, zmin, zmax,
+                              heights, clamp)
+
+
+def raw_extent_from_parquet_stats(
+    path: str | list[str],
     lon: str = "lon",
     lat: str = "lat",
     z: str = "z",
-    clamp: bool = True,
-) -> Bounds | None:
-    """Extent from parquet FOOTER statistics — zero data rows read.
-
-    Parquet (and Iceberg manifests, which carry the same per-file column
-    bounds) stores exact min/max for double columns per row group; at
-    100 TB the extent is therefore a metadata-only walk instead of a full
-    scan, removing one of the export's full passes over the input.
-    Returns None when any row group lacks stats (caller falls back to
-    :func:`compute_bounds`). Same inflation/clamp/degeneracy pipeline as
-    the scan path — parity-tested to produce identical Bounds.
-    """
+) -> tuple[float, float, float, float, float, float] | None:
+    """Pre-inflation data extent from parquet FOOTER statistics — zero
+    data rows read. Returns None when any row group lacks stats."""
     import pyarrow.dataset as pads
 
     if isinstance(path, (list, tuple)):
@@ -97,10 +104,34 @@ def bounds_from_parquet_stats(
                 want[col][1] = stats.max if hi is None else max(hi, stats.max)
     if n_groups == 0 or want[lon][0] is None:
         return None
-    return derive_root_bounds(
-        want[lon][0], want[lat][0], want[lon][1], want[lat][1],
-        want[z][0], want[z][1], heights, clamp,
-    )
+    return (want[lon][0], want[lat][0], want[lon][1], want[lat][1],
+            want[z][0], want[z][1])
+
+
+def bounds_from_parquet_stats(
+    path: str | list[str],
+    heights: tuple[float, float] = (0.0, 10.0),
+    lon: str = "lon",
+    lat: str = "lat",
+    z: str = "z",
+    clamp: bool = True,
+) -> Bounds | None:
+    """Extent from parquet FOOTER statistics — zero data rows read.
+
+    Parquet (and Iceberg manifests, which carry the same per-file column
+    bounds) stores exact min/max for double columns per row group; at
+    100 TB the extent is therefore a metadata-only walk instead of a full
+    scan, removing one of the export's full passes over the input.
+    Returns None when any row group lacks stats (caller falls back to
+    :func:`compute_bounds`). Same inflation/clamp/degeneracy pipeline as
+    the scan path — parity-tested to produce identical Bounds.
+    """
+    raw = raw_extent_from_parquet_stats(path, lon=lon, lat=lat, z=z)
+    if raw is None:
+        return None
+    xmin, ymin, xmax, ymax, zmin, zmax = raw
+    return derive_root_bounds(xmin, ymin, xmax, ymax, zmin, zmax,
+                              heights, clamp)
 
 
 def derive_root_bounds(

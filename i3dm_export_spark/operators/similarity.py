@@ -128,6 +128,26 @@ def hyperplane_signature(
     return df.withColumn(out, _sig(F.col(vec_col)))
 
 
+def _cap_buckets(df: DataFrame, keys: list[str],
+                 max_bucket_size: int | None) -> DataFrame:
+    """Drop corpus buckets larger than the cap (VERDICT r3 item 3, the
+    ANN-query-path analogue of ``lsh_candidate_pairs``' cap): one
+    degenerate bucket — near-zero vectors hashing identically — otherwise
+    makes every probing query's candidate set O(bucket). A signature
+    shared by that many vectors carries no discriminative information, so
+    dropping the bucket costs recall only on junk. One window count
+    partitioned by the bucket key (a shuffle that also co-locates the
+    buckets the join reads)."""
+    if max_bucket_size is None:
+        return df
+    w = Window.partitionBy(*keys)
+    return (
+        df.withColumn("_bs", F.count(F.lit(1)).over(w))
+        .filter(F.col("_bs") <= max_bucket_size)
+        .drop("_bs")
+    )
+
+
 def lsh_bucketed_ann(
     corpus: DataFrame,
     queries: DataFrame,
@@ -137,13 +157,17 @@ def lsh_bucketed_ann(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """ANN: exact re-rank restricted to the query's LSH bucket. Recall
     depends on n_planes; multiple probe tables can be unioned for higher
-    recall (left to the caller)."""
+    recall (left to the caller). ``max_bucket_size`` drops degenerate
+    corpus buckets (see :func:`_cap_buckets`) — at 10^12-row scale ALWAYS
+    set it."""
     c = hyperplane_signature(corpus, dim, n_planes, vec_col, seed).select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"), "lsh_sig"
     )
+    c = _cap_buckets(c, ["lsh_sig"], max_bucket_size)
     q = hyperplane_signature(queries, dim, n_planes, vec_col, seed).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"), "lsh_sig"
     )
@@ -464,6 +488,7 @@ def lsh_multiprobe_ann(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Multi-table LSH ANN: ``n_tables`` independent hyperplane tables,
     candidates unioned across tables and deduped before ONE exact re-rank.
@@ -477,7 +502,9 @@ def lsh_multiprobe_ann(
     structs, exploded JVM-side), so the corpus is scanned ONCE instead of
     once per table; candidates meet on one broadcast equi-join keyed
     (table, signature); distinct before the cosine keeps the re-rank work
-    at |unique candidates|.
+    at |unique candidates|. ``max_bucket_size`` drops degenerate corpus
+    (table, signature) buckets (see :func:`_cap_buckets`); a capped-away
+    true neighbor can still arrive through its other tables.
     """
     def _with_table_sigs(df, id_alias, vec_alias):
         out = df
@@ -501,6 +528,7 @@ def lsh_multiprobe_ann(
         ).select(id_alias, vec_alias, "_ts.tbl", "_ts.sig")
 
     c = _with_table_sigs(corpus, "neighbor_id", "_cv")
+    c = _cap_buckets(c, ["tbl", "sig"], max_bucket_size)
     q = _with_table_sigs(queries, "query_id", "_qv")
     cands = (
         c.join(F.broadcast(q), ["tbl", "sig"])

@@ -35,7 +35,10 @@ Preconditions (enforced):
 * appended instances fall INSIDE the recorded root bounds — a point
   outside shifts every tile key's meaning, so the append degrades to a
   full re-export (raised as :class:`IncrementalRebuildRequired`, never
-  silently mis-tiled);
+  silently mis-tiled); when the base export COMPUTED its bounds from the
+  data (not caller-pinned), the batch must additionally stay inside the
+  recorded raw lon/lat/z data extent, or a from-scratch union export
+  would derive different root bounds / region z-range (ADVICE r3);
 * the same ``ExportOptions`` drive the append (checked against the
   recorded snapshot);
 * ``url`` is the unique stable instance key (the engine-wide total-order
@@ -107,10 +110,22 @@ def _check_opts(meta: dict, opts: ExportOptions) -> None:
         )
 
 
-def _check_bounds(new_inst: DataFrame, bounds: Bounds) -> None:
+def _check_bounds(new_inst: DataFrame, bounds: Bounds, meta: dict) -> None:
+    """One agg over the batch; two parity guards.
+
+    1. lon/lat inside the recorded root bounds — a point outside shifts
+       every tile key's meaning.
+    2. When the base export COMPUTED its bounds from data (not caller-
+       pinned), the batch must also stay inside the recorded RAW data
+       extent in lon/lat AND z: a from-scratch ``run_export(A ∪ B)``
+       re-derives the root (and the tileset region's zmin/zmax) from the
+       union extent, so any batch value outside the base extent breaks the
+       byte-parity contract (ADVICE r3: z was previously unchecked).
+    """
     row = new_inst.agg(
         F.min("lon").alias("xmin"), F.max("lon").alias("xmax"),
         F.min("lat").alias("ymin"), F.max("lat").alias("ymax"),
+        F.min("z").alias("zmin"), F.max("z").alias("zmax"),
     ).collect()[0]
     if row["xmin"] is None:
         return
@@ -124,6 +139,29 @@ def _check_bounds(new_inst: DataFrame, bounds: Bounds) -> None:
             f"root bounds {bounds.bbox}; tile keys would change meaning — "
             "run a full re-export"
         )
+    if not meta.get("bounds_pinned", True):
+        ext = meta.get("data_extent")
+        if ext is None:
+            raise IncrementalRebuildRequired(
+                "base export computed its bounds from data but recorded no "
+                "raw data extent (pre-r4 meta); cannot prove the append "
+                "leaves a recomputed union extent unchanged — run a full "
+                "re-export"
+            )
+        xmin, ymin, xmax, ymax, zmin, zmax = ext
+        if (
+            row["xmin"] < xmin or row["xmax"] > xmax
+            or row["ymin"] < ymin or row["ymax"] > ymax
+            or row["zmin"] < zmin or row["zmax"] > zmax
+        ):
+            raise IncrementalRebuildRequired(
+                f"appended instances extend the base export's raw data "
+                f"extent {ext} (batch z-range [{row['zmin']}, "
+                f"{row['zmax']}], lon/lat [{row['xmin']}, {row['ymin']}] "
+                f".. [{row['xmax']}, {row['ymax']}]); a from-scratch union "
+                "export would derive different root bounds / region "
+                "z-range — run a full re-export"
+            )
 
 
 def dirty_tiles(old_assigned: DataFrame, new_assigned: DataFrame) -> DataFrame:
@@ -189,15 +227,22 @@ def incremental_append(
     spark = new_pages.sparkSession
     ckpt_root = checkpoint_dir or os.path.join(output_dir, "_checkpoints")
     ckpt = CheckpointManager(spark, ckpt_root)
-    if not (
-        ckpt.is_complete("stage0_instances")
-        and ckpt.is_complete("stage3_assigned")
-    ):
+    if not ckpt.is_complete("stage3_assigned"):
         raise IncrementalRebuildRequired(
             f"base export under {ckpt_root} is incomplete "
-            "(stage0/stage3 checkpoints missing)"
+            "(stage3 checkpoint missing)"
         )
     meta = _load_meta(ckpt_root)
+    # a preprojected base export skips the stage-0 checkpoint (the source
+    # parquet IS the durable copy); reconstruct the base instances from
+    # the recorded file list instead
+    if not ckpt.is_complete("stage0_instances") and not meta.get(
+        "preprojected_source"
+    ):
+        raise IncrementalRebuildRequired(
+            f"base export under {ckpt_root} is incomplete (stage0 "
+            "checkpoint missing and no preprojected source recorded)"
+        )
     manifest_probe = os.path.join(ckpt_root, "_sink_manifests", "content")
     if not os.path.isdir(manifest_probe):
         raise IncrementalRebuildRequired(
@@ -216,10 +261,25 @@ def incremental_append(
     new_inst = stage0_instances(new_pages)
     if opts.query:
         new_inst = new_inst.filter(F.expr(opts.query))
-    _check_bounds(new_inst, bounds)
+    _check_bounds(new_inst, bounds, meta)
 
-    old_inst = ckpt.read("stage0_instances")
+    if ckpt.is_complete("stage0_instances"):
+        old_inst = ckpt.read("stage0_instances")
+    else:
+        from .pipeline import INSTANCE_COLS
+
+        src = [
+            p.removeprefix("file:") for p in meta["preprojected_source"]
+        ]
+        old_inst = spark.read.parquet(*src).select(*INSTANCE_COLS)
     old_assigned = ckpt.read("stage3_assigned")
+
+    # input pinning across the append (VERDICT r3 item 7): the refreshed
+    # checkpoints describe base ∪ batch, which matches NO single input —
+    # chain the base's recorded fingerprint with the batch's so a later
+    # run_export resume against any (possibly mutated) input fails loudly
+    # instead of silently serving union-state stages
+    append_fp = _chained_fingerprint(ckpt, new_pages, old_inst)
 
     # url is the diff key, so an appended url that ALREADY exists would
     # alias its old row in the assignment diff: if both copies land in the
@@ -382,7 +442,7 @@ def incremental_append(
         for stage, df in refreshed.items()
     }
     for stage, tmp in tmps.items():
-        _swap_in(ckpt, stage, tmp)
+        _swap_in(ckpt, stage, tmp, input_fingerprint=append_fp)
     for stale in ("stage4_payloads", "stage4_reduced", "stage5_subtrees",
                   "stage1_encoded"):
         _drop_stage(ckpt, stale)
@@ -402,6 +462,38 @@ def incremental_append(
     }
 
 
+def _chained_fingerprint(
+    ckpt: CheckpointManager, new_pages: DataFrame, old_inst: DataFrame
+) -> str:
+    """sha256 over (base stage0 fingerprint, batch input fingerprint).
+
+    Non-empty whenever either side is pinned; by construction it never
+    equals a plain ``input_fingerprint(some_input)``, so a post-append
+    ``run_export`` resume over ANY file-backed input raises
+    :class:`~.checkpoint.StaleCheckpointError` — correct, because the
+    refreshed checkpoints hold union state that no single input produces.
+    Chained appends are unaffected (they read checkpoints directly).
+    Preprojected bases have no stage-0 marker — fall back to the base
+    source frame's own file fingerprint."""
+    import hashlib
+
+    from .checkpoint import input_fingerprint
+
+    base_fp = ""
+    marker = ckpt._done_marker("stage0_instances")
+    if os.path.exists(marker):
+        with open(marker) as f:
+            base_fp = json.load(f).get("input_fingerprint", "") or ""
+    if not base_fp:
+        base_fp = input_fingerprint(old_inst)
+    batch_fp = input_fingerprint(new_pages)
+    if not base_fp and not batch_fp:
+        return ""
+    return hashlib.sha256(
+        f"append|{base_fp}|{batch_fp}".encode()
+    ).hexdigest()
+
+
 def _stage_to_tmp(ckpt: CheckpointManager, stage: str, df: DataFrame) -> str:
     """Materialize the refreshed stage beside its final path (the df's
     lineage may read the CURRENT checkpoint files — they must survive
@@ -411,10 +503,13 @@ def _stage_to_tmp(ckpt: CheckpointManager, stage: str, df: DataFrame) -> str:
     return tmp
 
 
-def _swap_in(ckpt: CheckpointManager, stage: str, tmp: str) -> None:
+def _swap_in(ckpt: CheckpointManager, stage: str, tmp: str,
+             input_fingerprint: str = "") -> None:
     """Replace the stage checkpoint with the temp materialization and mark
     done (single-writer pipeline; crash between swaps leaves a state the
-    next full run_export rebuilds from its own fingerprints)."""
+    next full run_export rebuilds from its own fingerprints). The recorded
+    fingerprint is the append CHAIN fingerprint, so post-append resumes
+    keep input pinning (VERDICT r3 item 7)."""
     import shutil
 
     out = ckpt.spark.read.format(ckpt.fmt).load(tmp)
@@ -424,7 +519,7 @@ def _swap_in(ckpt: CheckpointManager, stage: str, tmp: str) -> None:
     os.makedirs(os.path.dirname(ckpt._done_marker(stage)), exist_ok=True)
     with open(ckpt._done_marker(stage), "w") as f:
         json.dump({"stage": stage, "n_rows": n, "incremental": True,
-                   "input_fingerprint": ""}, f)
+                   "input_fingerprint": input_fingerprint}, f)
 
 
 def _drop_stage(ckpt: CheckpointManager, stage: str) -> None:

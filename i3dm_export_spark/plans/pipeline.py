@@ -188,6 +188,8 @@ def run_export(
     else:
         inst = ckpt.run_stage("stage0_instances", _stage0, input_fingerprint=in_fp)
 
+    caller_pinned_bounds = bounds is not None
+    data_extent = None  # raw pre-inflation extent (append-parity anchor)
     if bounds is None:
         # prefer the metadata-only extent (parquet/Iceberg footer stats —
         # zero data rows read, removes one full pass at 100 TB); only valid
@@ -198,15 +200,13 @@ def run_export(
         if not opts.query and opts.source_epsg == 4326 and _is_bare_scan(pages):
             files = pages.inputFiles()
             if files:
-                bounds = extent.bounds_from_parquet_stats(
-                    list(files), heights=opts.boundingvolume_heights,
-                    clamp=not opts.keep_projection,
-                )
-        if bounds is None:
-            bounds = extent.compute_bounds(
-                inst, heights=opts.boundingvolume_heights, query=opts.query,
-                clamp=not opts.keep_projection,
-            )
+                data_extent = extent.raw_extent_from_parquet_stats(list(files))
+        if data_extent is None:
+            data_extent = extent.compute_raw_extent(inst, query=opts.query)
+        bounds = extent.derive_root_bounds(
+            *data_extent, heights=opts.boundingvolume_heights,
+            clamp=not opts.keep_projection,
+        )
 
     if opts.precompute_ecef:
         encoded = ckpt.run_stage("stage1_encoded", lambda: stage1_encode(inst),
@@ -270,6 +270,20 @@ def run_export(
             {
                 "bounds": [bounds.xmin, bounds.ymin, bounds.xmax,
                            bounds.ymax, bounds.zmin, bounds.zmax],
+                # append-parity provenance: pinned bounds are input-
+                # independent (a union rebuild reuses them verbatim);
+                # computed bounds re-derive from data, so appends must stay
+                # inside the recorded RAW extent or the union's root (and
+                # region z-range) shifts (ADVICE r3)
+                "bounds_pinned": caller_pinned_bounds,
+                "data_extent": (list(data_extent)
+                                if data_extent is not None else None),
+                # preprojected inputs skip the stage-0 checkpoint (the
+                # source IS the durable copy); record the file list so
+                # incremental appends can reconstruct the base instances
+                "preprojected_source": (
+                    sorted(pages.inputFiles()) if _preprojected else None
+                ),
                 "subtree_levels": subtree_levels,
                 "opts": {k: (list(v) if isinstance(v, tuple) else v)
                          for k, v in _dc.asdict(opts).items()},

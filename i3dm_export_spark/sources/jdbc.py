@@ -20,9 +20,10 @@ This adapter maps that surface onto ``spark.read.jdbc``:
   pushes ``ST_AsBinary`` the same way), and the read is PARTITIONED on a
   numeric column via lowerBound/upperBound so a 10^9-row table arrives as
   ``num_partitions`` parallel cursors instead of one — the standard
-  Spark-JDBC parallel ingest. For the 100 TB regime the realistic pattern
-  remains a one-time CDC/export into parquet/Iceberg; this adapter is the
-  migration on-ramp.
+  Spark-JDBC parallel ingest. Bounds the caller omits are derived from a
+  1-row MIN/MAX probe (:func:`probe_partition_bounds`). For the 100 TB
+  regime the realistic pattern remains a one-time CDC/export into
+  parquet/Iceberg; this adapter is the migration on-ramp.
 * :func:`probe_srid_sql` — the reference's SRID probe, verbatim.
 
 No Postgres server (or JDBC driver jar) ships in this sandbox, so tests
@@ -102,21 +103,63 @@ def instances_query(
     geometry_column: str = "geom",
     query: str = "",
     extra_cols: tuple[str, ...] = (
-        "scale", "rotation", "yaw", "pitch", "roll", "model", "tags",
+        "url", "scale", "rotation", "yaw", "pitch", "roll", "model", "tags",
     ),
 ) -> str:
     """Server-side projection pushed into the JDBC subquery: point coords
     via ST_X/Y/Z over st_force3d (the reference pushes the same transform,
-    src/InstancesRepository.cs:42,52) plus the known optional columns.
-    Unknown columns are left to the caller's post-select (Spark prunes)."""
+    src/InstancesRepository.cs:42,52) plus an EXPLICIT attribute list —
+    the reference projects explicit columns the same way
+    (src/InstancesRepository.cs:51-55, orientation columns probed per
+    table). A wildcard would re-select the geometry column and collide
+    with tables that already carry lon/lat/z names; callers whose table
+    lacks one of the defaults pass their own ``extra_cols``
+    (``stage0_instances`` fills engine defaults for absent optionals)."""
     cols = ", ".join(extra_cols)
     where = "" if not query else f" WHERE {query}"
     return (
         f"(SELECT ST_X(st_force3d({geometry_column})) AS lon, "
         f"ST_Y(st_force3d({geometry_column})) AS lat, "
-        f"ST_Z(st_force3d({geometry_column})) AS z, * "
+        f"ST_Z(st_force3d({geometry_column})) AS z, {cols} "
         f"FROM {table}{where}) AS instances"
     )
+
+
+def probe_bounds_sql(table: str, partition_column: str, query: str = "") -> str:
+    """1-row MIN/MAX probe used to derive partitioned-read bounds when the
+    caller gives ``partition_column`` without bounds (same data-driven
+    style as the reference's ST_SRID probe)."""
+    where = "" if not query else f" WHERE {query}"
+    return (
+        f"SELECT MIN({partition_column}) AS lo, MAX({partition_column}) AS hi "
+        f"FROM {table}{where}"
+    )
+
+
+def probe_partition_bounds(
+    spark: SparkSession,
+    connection: str,
+    table: str,
+    partition_column: str,
+    query: str = "",
+) -> tuple[int, int]:
+    """Run the MIN/MAX probe over JDBC; raises when the table is empty
+    (no sane bounds exist)."""
+    url, props = jdbc_url(connection)
+    reader = (
+        spark.read.format("jdbc")
+        .option("url", url)
+        .option("query", probe_bounds_sql(table, partition_column, query))
+    )
+    for k, v in props.items():
+        reader = reader.option(k, v)
+    row = reader.load().first()
+    if row is None or row[0] is None or row[1] is None:
+        raise ValueError(
+            f"MIN/MAX probe on {table}.{partition_column} returned no rows "
+            "— cannot derive partition bounds for an empty table"
+        )
+    return int(row[0]), int(row[1])
 
 
 def load_jdbc_instances(
@@ -130,28 +173,36 @@ def load_jdbc_instances(
     lower_bound: int | None = None,
     upper_bound: int | None = None,
     fetchsize: int = 10_000,
+    extra_cols: tuple[str, ...] | None = None,
 ) -> DataFrame:
     """Partitioned JDBC scan of a PostGIS instance table.
 
-    When ``partition_column`` (numeric, e.g. a serial id) is given with
-    bounds, Spark opens ``num_partitions`` parallel range cursors; without
-    it the read is a single cursor (fine for a probe, wrong for bulk).
-    Column pruning and simple predicates still push down through the JDBC
-    source after the subquery projection."""
+    When ``partition_column`` (numeric, e.g. a serial id) is given, Spark
+    opens ``num_partitions`` parallel range cursors; bounds omitted by the
+    caller are derived from a 1-row MIN/MAX probe
+    (:func:`probe_partition_bounds`), so the CLI's bulk path defaults to
+    parallel cursors instead of erroring. Without ``partition_column`` the
+    read is a single cursor (fine for a probe, wrong for bulk). Column
+    pruning and simple predicates still push down through the JDBC source
+    after the subquery projection."""
     url, props = jdbc_url(connection)
+    iq = (
+        instances_query(table, geometry_column, query)
+        if extra_cols is None
+        else instances_query(table, geometry_column, query, extra_cols)
+    )
     reader = (
         spark.read.format("jdbc")
         .option("url", url)
-        .option("dbtable", instances_query(table, geometry_column, query))
+        .option("dbtable", iq)
         .option("fetchsize", str(fetchsize))
     )
     for k, v in props.items():
         reader = reader.option(k, v)
     if partition_column is not None:
         if lower_bound is None or upper_bound is None:
-            raise ValueError(
-                "partitioned JDBC read needs lower_bound and upper_bound "
-                "(run a MIN/MAX probe first)"
+            lower_bound, upper_bound = probe_partition_bounds(
+                spark, connection, table, partition_column, query
             )
         reader = (
             reader.option("partitionColumn", partition_column)

@@ -11,11 +11,17 @@ membership); the only stateful piece is "first document seen per (band,
 signature) bucket", kept in ``applyInPandasWithState`` keyed state.
 
 Scale shape: state size is O(distinct buckets), NOT O(documents) — each
-bucket stores one doc id. Arrivals shuffle once on the bucket key (the
-same key the batch LSH join uses). Emitted rows are (doc, dup_of, band)
-candidate flags; exact-similarity verification stays a downstream batch
-concern, exactly as in the batch pipeline (candidates -> ngram_jaccard /
-embedding cosine re-rank).
+bucket stores one doc id plus an arrival counter. Arrivals shuffle once on
+the bucket key (the same key the batch LSH join uses). A DEGENERATE bucket
+(near-identical boilerplate, e.g. an empty-page shingle set) would
+otherwise emit one candidate row per arriving document forever;
+``max_bucket_size`` caps emissions per bucket, mirroring the batch
+operator's ``lsh_candidate_pairs`` cap — past the cap the bucket is
+treated as boilerplate noise and stops emitting (the counter keeps
+counting, so the suppression is permanent and cheap). Emitted rows are
+(doc, dup_of, band) candidate flags; exact-similarity verification stays a
+downstream batch concern, exactly as in the batch pipeline (candidates ->
+ngram_jaccard / embedding cosine re-rank).
 """
 
 from __future__ import annotations
@@ -27,7 +33,7 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from ..operators.dedup import minhash_signatures
 
 _OUT_SCHEMA = "doc_id string, dup_of string, band bigint"
-_STATE_SCHEMA = "first_id string"
+_STATE_SCHEMA = "first_id string, n_seen bigint"
 
 
 def streaming_near_dup(
@@ -37,14 +43,18 @@ def streaming_near_dup(
     id_col: str = "doc_id",
     text_col: str = "text",
     shingle_n: int = 5,
+    max_bucket_size: int = 1000,
 ) -> DataFrame:
     """(doc_id, dup_of, band) candidate flags for a streaming docs frame.
 
     ``dup_of`` is the FIRST document that claimed the colliding bucket
-    (first-seen across micro-batches via keyed state; url/id-ordered
-    within a batch so replays are deterministic). A document colliding in
-    k bands emits k rows — ``dropDuplicates(["doc_id","dup_of"])``
-    downstream if one flag per pair is wanted."""
+    (first-seen across micro-batches via keyed state; id-ordered over the
+    WHOLE bucket group per batch — chunk boundaries inside a micro-batch
+    do not affect the winner — so replays are deterministic). A document
+    colliding in k bands emits k rows — ``dropDuplicates(["doc_id",
+    "dup_of"])`` downstream if one flag per pair is wanted. Buckets that
+    accumulate more than ``max_bucket_size`` arrivals stop emitting
+    (degenerate-boilerplate guard, VERDICT r3 item 3)."""
     from pyspark.sql import functions as F
 
     sigs = minhash_signatures(
@@ -54,16 +64,25 @@ def streaming_near_dup(
 
     def _track(key, pdf_iter, state: GroupState):
         band = key[0]
-        first = state.get[0] if state.exists else None
-        rows: list[tuple[str, str, int]] = []
+        if state.exists:
+            first, n_seen = state.get[0], int(state.get[1])
+        else:
+            first, n_seen = None, 0
+        # concatenate ids across Arrow chunks FIRST: the first-seen winner
+        # must be the min over the whole micro-batch group, not per chunk
+        ids: list[str] = []
         for pdf in pdf_iter:
-            for doc in sorted(pdf["_id_str"]):
-                if first is None:
-                    first = doc
-                elif doc != first:
-                    rows.append((doc, first, band))
+            ids.extend(pdf["_id_str"])
+        ids.sort()
+        rows: list[tuple[str, str, int]] = []
+        for doc in ids:
+            n_seen += 1
+            if first is None:
+                first = doc
+            elif doc != first and n_seen <= max_bucket_size:
+                rows.append((doc, first, band))
         if first is not None:
-            state.update((first,))
+            state.update((first, n_seen))
         yield pd.DataFrame(rows, columns=["doc_id", "dup_of", "band"])
 
     return (

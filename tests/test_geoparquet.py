@@ -175,3 +175,29 @@ class TestCliSniff:
             spark=spark,
         )
         assert summary["n_instances"] == 300
+
+    def test_equals_form_flag_overrides_sniff(
+        self, spark, mercator_geoparquet, tmp_path
+    ):
+        """``--source_epsg=3857`` (equals spelling) must behave identically
+        to the two-token spelling: the old implementation scanned argv for
+        the literal token ``--source_epsg`` and silently let the sniff win
+        for this form."""
+        from i3dm_export_spark.__main__ import main
+
+        path, _ = mercator_geoparquet
+        out_eq = str(tmp_path / "out_eq")
+        out_tok = str(tmp_path / "out_tok")
+        common = ["--geometrycolumn", "geometry", "--use_i3dm",
+                  "--max_features_per_tile", "100", "--max_level", "8"]
+        s_eq = main(["-c", path, "-o", out_eq, "--source_epsg=3857",
+                     *common], spark=spark)
+        s_tok = main(["-c", path, "-o", out_tok, "--source_epsg", "3857",
+                      *common], spark=spark)
+        assert s_eq["n_instances"] == s_tok["n_instances"] == 300
+
+        def region(out):
+            with open(os.path.join(out, "tileset.json")) as fh:
+                return json.load(fh)["root"]["boundingVolume"]["region"]
+
+        assert region(out_eq) == region(out_tok)

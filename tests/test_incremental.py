@@ -176,6 +176,102 @@ class TestIncrementalGuards:
         with pytest.raises(IncrementalRebuildRequired):
             incremental_append(batch, str(tmp_path / "nowhere"))
 
+    @staticmethod
+    def _interior_split(spark, n=700, k=50):
+        """(base, batch): batch strictly inside base's lon/lat extent, so
+        computed union bounds equal computed base bounds exactly."""
+        from pyspark.sql import functions as F
+
+        full = pages_df(spark, n)
+        rows = full.select("url", "lon", "lat").collect()
+        lons = sorted(r["lon"] for r in rows)
+        lats = sorted(r["lat"] for r in rows)
+        lo1, lo2 = lons[n // 5], lons[4 * n // 5]
+        la1, la2 = lats[n // 5], lats[4 * n // 5]
+        interior = [
+            r["url"] for r in rows
+            if lo1 < r["lon"] < lo2 and la1 < r["lat"] < la2
+        ][:k]
+        return (
+            full.filter(~F.col("url").isin(interior)),
+            full.filter(F.col("url").isin(interior)),
+            full,
+        )
+
+    def test_z_outside_extent_degrades_loudly(self, spark, tmp_path):
+        """ADVICE r3: with COMPUTED base bounds, an appended z outside the
+        base z-range would shift the from-scratch union's region zmin/zmax
+        — the append must refuse, not silently break byte parity."""
+        from pyspark.sql import functions as F
+
+        base, batch, _ = self._interior_split(spark)
+        out = str(tmp_path / "o")
+        run_export(base, OPTS, out)  # bounds computed from data
+        rogue = batch.withColumn("z", F.lit(25.0))
+        with pytest.raises(IncrementalRebuildRequired, match="z-range"):
+            incremental_append(rogue, out)
+
+    def test_computed_bounds_interior_append_byte_parity(self, spark, tmp_path):
+        """Byte parity WITHOUT pinned bounds: an interior batch leaves the
+        computed union extent identical, so append == full rebuild."""
+        base, batch, full = self._interior_split(spark)
+        out_full = str(tmp_path / "full")
+        run_export(full, OPTS, out_full)
+        out_incr = str(tmp_path / "incr")
+        run_export(base, OPTS, out_incr)
+        incremental_append(batch, out_incr)
+        assert _tree_files(out_full) == _tree_files(out_incr)
+
+    def test_post_append_resume_keeps_input_pinning(self, spark, tmp_path):
+        """VERDICT r3 item 7: after an append the refreshed checkpoints
+        hold union state matching no single input — a later run_export
+        resume over file-backed input must raise StaleCheckpointError
+        (mutated or not), never silently serve union-state stages."""
+        from i3dm_export_spark.plans.checkpoint import StaleCheckpointError
+
+        base, batch, _ = _split(spark, 500, 450)
+        base_path = str(tmp_path / "base_pq")
+        batch_path = str(tmp_path / "batch_pq")
+        base.write.parquet(base_path)
+        batch.write.parquet(batch_path)
+
+        out = str(tmp_path / "o")
+        run_export(spark.read.parquet(base_path), OPTS, out, bounds=BB)
+        incremental_append(spark.read.parquet(batch_path), out)
+
+        # mutate the base input in place (one row fewer, new file stats)
+        cut = base.select("url").orderBy("url").limit(1).collect()[0]["url"]
+        mutated = base.filter(base["url"] != cut).localCheckpoint()
+        mutated.write.mode("overwrite").parquet(base_path)
+        with pytest.raises(StaleCheckpointError):
+            run_export(spark.read.parquet(base_path), OPTS, out, bounds=BB)
+
+    def test_preprojected_base_append_byte_parity(self, spark, tmp_path):
+        """A base export over an already-projected durable instance table
+        takes the stage-0 shortcut (no stage0 checkpoint — the source IS
+        the durable copy, the bench/e2e path); the append must
+        reconstruct the base from the recorded source files and stay
+        byte-par with the full rebuild."""
+        from i3dm_export_spark.plans.pipeline import stage0_instances
+
+        base, batch, full = _split(spark, 700, 600)
+        base_path = str(tmp_path / "base_inst")
+        stage0_instances(base).write.parquet(base_path)
+        base_pre = spark.read.parquet(base_path)
+
+        out_full = str(tmp_path / "full")
+        run_export(full, OPTS, out_full, bounds=BB)
+        out_incr = str(tmp_path / "incr")
+        run_export(base_pre, OPTS, out_incr, bounds=BB)
+        assert not os.path.exists(
+            os.path.join(out_incr, "_checkpoints", "_lineage",
+                         "stage0_instances.done.json")
+        ), "preprojected shortcut did not engage — test premise broken"
+
+        s = incremental_append(batch, out_incr)
+        assert _tree_files(out_full) == _tree_files(out_incr)
+        assert s["n_instances"] == 700
+
 
 class TestCliAppend:
     def test_cli_append_flag(self, spark, tmp_path):

@@ -3,6 +3,12 @@
 Accuracy is checked on HELD-OUT sentences (none appear in the embedded
 training samples), the unknown path returns 'und', and the plan gate
 pins the broadcast profile join / no-Python shape (VERDICT r2 item 4).
+
+Documented accuracy (VERDICT r3 item 2, after the LANG_SAMPLES_EXTRA2
+retrain roughly tripled the per-language training text): 37/37 = 100% on
+the combined held-out set (HELD_OUT + the close-sibling HELD_OUT_PAIRS
+below). The r3 profiles scored 23/25 on HELD_OUT (sk→sl, lv→lt); the
+retrain fixes both without touching the scorer.
 """
 
 import pytest
@@ -45,6 +51,24 @@ HELD_OUT = {
 CORE = ("en", "fr", "de", "nl", "it", "ro", "fi", "et", "pl", "hu", "tr",
         "id", "sw")
 
+# second held-out sentence for every close-sibling pair (VERDICT r3
+# item 2): different wording and theme from both training blocks and
+# HELD_OUT; each must classify to the RIGHT sibling
+HELD_OUT_PAIRS = {
+    "da": "om eftermiddagen drikker vi gerne en kop kaffe sammen med vores naboer i haven bag huset",
+    "no": "om ettermiddagen drikker vi gjerne en kopp kaffe sammen med naboene vare i hagen bak huset",
+    "sv": "pa eftermiddagen dricker vi garna en kopp kaffe tillsammans med vara grannar i tradgarden bakom huset",
+    "cs": "muj bratr bydli v male vesnici v horach a pracuje jako ucitel v mistni skole",
+    "sk": "moj brat byva v malej dedine v horach a pracuje ako ucitel v miestnej skole",
+    "sl": "moja sestra zivi v majhni vasi v gorah in dela kot uciteljica v domaci soli",
+    "hr": "moja sestra zivi u malom selu u planinama i radi kao uciteljica u mjesnoj skoli",
+    "es": "mi hermana vive en un pueblo pequeno en las montanas y trabaja como maestra en la escuela del lugar",
+    "pt": "a minha irma vive numa aldeia pequena nas montanhas e trabalha como professora na escola local",
+    "ca": "la meva germana viu en un poble petit a les muntanyes i treballa com a mestra a l'escola del poble",
+    "lt": "mano brolis gyvena mazame kaime kalnuose ir dirba mokytoju vietineje mokykloje",
+    "lv": "mans bralis dzivo maza ciemata kalnos un strada par skolotaju vieteja skola",
+}
+
 
 class TestLangIdNgram:
     def test_profiles_cover_all_sample_languages(self):
@@ -69,9 +93,29 @@ class TestLangIdNgram:
             (lang, out[i]) for i, (lang, _) in enumerate(rows) if out[i] != lang
         ]
         acc = 1 - len(wrong) / len(rows)
-        assert acc >= 0.8, f"held-out accuracy {acc:.2f}; wrong: {wrong}"
+        # measured 25/25 after the r4 retrain (was 23/25); gate with margin
+        assert acc >= 0.9, f"held-out accuracy {acc:.2f}; wrong: {wrong}"
         core_wrong = [w for w in wrong if w[0] in CORE]
         assert not core_wrong, f"core languages misclassified: {core_wrong}"
+
+    def test_close_sibling_pairs_exact(self, spark):
+        """Every close-sibling held-out sentence must classify to the
+        RIGHT sibling — the confusion mode the r3 profiles exhibited
+        (sk→sl, lv→lt on short sentences)."""
+        rows = sorted(HELD_OUT_PAIRS.items())
+        docs = spark.createDataFrame(
+            [(i, lang, s) for i, (lang, s) in enumerate(rows)],
+            "doc_id int, true_lang string, text string",
+        )
+        out = {
+            r["doc_id"]: r["lang_pred"]
+            for r in tx.lang_id_ngram(docs).collect()
+        }
+        wrong = [
+            (lang, out[i]) for i, (lang, _) in enumerate(rows)
+            if out[i] != lang
+        ]
+        assert not wrong, f"sibling confusion: {wrong}"
 
     def test_unknown_text_is_und(self, spark):
         docs = spark.createDataFrame(

@@ -221,6 +221,75 @@ class TestMultiprobeLsh:
         assert got == exact
 
 
+class TestAnnBucketCaps:
+    """VERDICT r3 item 3: a degenerate corpus bucket (identical junk
+    vectors hashing to one signature) must not make per-query candidates
+    O(bucket) — max_bucket_size drops the bucket, healthy buckets
+    survive."""
+
+    @staticmethod
+    def _junk(spark, n=400):
+        return spark.range(n).select(
+            F.col("id").alias("vec_id"),
+            F.array_repeat(F.lit(1.0), 16).alias("embedding"),
+        )
+
+    @staticmethod
+    def _healthy(spark, n=10, base_id=5000):
+        # one tight healthy cluster: alternating-sign vector, distinct ids
+        pat = F.array(*[F.lit(1.0 if i % 2 == 0 else -1.0) for i in range(16)])
+        return spark.range(n).select(
+            (F.col("id") + base_id).alias("vec_id"), pat.alias("embedding")
+        )
+
+    def test_bucketed_ann_cap(self, spark):
+        from i3dm_export_spark.operators import similarity as sim
+
+        junk = self._junk(spark)
+        q = self._junk(spark, 1).select(
+            (F.col("vec_id") + 9000).alias("vec_id"), "embedding"
+        )
+        uncapped = sim.lsh_bucketed_ann(junk, q, 1000, dim=16, n_planes=4)
+        assert uncapped.count() == 400  # whole bucket becomes candidates
+        capped = sim.lsh_bucketed_ann(
+            junk, q, 1000, dim=16, n_planes=4, max_bucket_size=100
+        )
+        assert capped.count() == 0
+
+    def test_bucketed_ann_cap_keeps_healthy_buckets(self, spark):
+        from i3dm_export_spark.operators import similarity as sim
+
+        corpus = self._junk(spark).unionByName(self._healthy(spark))
+        q = self._healthy(spark, 1, base_id=9000)
+        capped = sim.lsh_bucketed_ann(
+            corpus, q, 1000, dim=16, n_planes=4, max_bucket_size=100
+        )
+        rows = capped.collect()
+        assert len(rows) == 10  # the healthy cluster, nothing from junk
+        assert all(5000 <= r.neighbor_id < 5010 for r in rows)
+
+    def test_multiprobe_ann_cap(self, spark):
+        from i3dm_export_spark.operators import similarity as sim
+
+        junk = self._junk(spark)
+        q = self._junk(spark, 1).select(
+            (F.col("vec_id") + 9000).alias("vec_id"), "embedding"
+        )
+        assert (
+            sim.lsh_multiprobe_ann(
+                junk, q, 1000, dim=16, n_planes=4, n_tables=3
+            ).count()
+            == 400
+        )
+        assert (
+            sim.lsh_multiprobe_ann(
+                junk, q, 1000, dim=16, n_planes=4, n_tables=3,
+                max_bucket_size=100,
+            ).count()
+            == 0
+        )
+
+
 class TestHyperplaneMatmulPath:
     """VERDICT r1 item 5: the dim-independent Arrow matmul signature path."""
 

@@ -112,3 +112,49 @@ class TestStreamingNearDup:
             for r in lsh_candidate_pairs(sigs).collect()
         }
         assert got_pairs == want_pairs
+
+    def test_degenerate_bucket_capped(self, spark, tmp_path):
+        """VERDICT r3 item 3: one boilerplate bucket must not emit O(docs)
+        candidates — emissions stop at max_bucket_size and the suppression
+        persists into later micro-batches (counter lives in state)."""
+        src = tmp_path / "in"
+        src.mkdir()
+        _write_drop(
+            src / "drop0.parquet",
+            [(f"x{i:03d}", TEXT_A) for i in range(10)],
+        )
+        time.sleep(1.1)
+        _write_drop(
+            src / "drop1.parquet",
+            [(f"y{i:03d}", TEXT_A) for i in range(10)],
+        )
+        stream = (
+            spark.readStream.schema(DOCS_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        flags = streaming_near_dup(
+            stream, n_bands=4, rows_per_band=2, max_bucket_size=5
+        )
+        q = (
+            flags.writeStream.format("memory")
+            .queryName("dup_flags_cap")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", str(tmp_path / "ckpt_cap"))
+            .start()
+        )
+        q.awaitTermination(180)
+        rows = spark.sql(
+            "select doc_id, dup_of, band from dup_flags_cap"
+        ).collect()
+        # identical texts share every band bucket: uncapped this would be
+        # 19 flagged docs x 4 bands = 76 rows; capped it is 4 per band
+        # (arrivals 2..5) and NOTHING from the second micro-batch
+        per_band = {}
+        for r in rows:
+            per_band.setdefault(r["band"], set()).add(r["doc_id"])
+        assert per_band, "expected some candidate rows below the cap"
+        for band, docs in per_band.items():
+            assert len(docs) <= 4, (band, docs)
+            assert not any(d.startswith("y") for d in docs)
