@@ -54,6 +54,18 @@ large that its dirty set approaches the whole tile table gains nothing
 over ``run_export`` (which this module will happily lose to in that
 regime — the summary's ``n_dirty_tiles``/``n_content_tiles`` ratio tells
 the operator which side they're on).
+
+IO shape (round 4): the refreshed stage-0 checkpoint is built ADDITIVELY
+(hard-link the base's parquet files, write only the batch — the
+parquet-fallback analogue of an Iceberg fast-append snapshot), the
+refreshed assignment is materialized into its checkpoint tmp ONCE up
+front and every downstream consumer reads that parquet (the r3 shape
+re-evaluated the lazy union assignment once per consuming action), and
+checkpoint swaps are directory renames. Remaining O(corpus) costs per
+append: the union tree/assignment compute (unavoidable — appends can
+flip split decisions anywhere in a new point's ancestry) and the stage-3
+rewrite (assignment rows can MOVE tiles, and plain parquet has no
+row-level deletes; Iceberg MOR would make this a delta too).
 """
 
 from __future__ import annotations
@@ -299,11 +311,36 @@ def incremental_append(
 
     union_inst = old_inst.unionByName(new_inst.select(*old_inst.columns))
 
-    # 1-2: tree + assignment over the union (linear), then the key diff
-    tree = tiling.build_tile_tree(union_inst, bounds, opts)
-    new_assigned = tiling.assign_to_content_tiles(union_inst, tree, opts)
+    # materialize the refreshed stage-0 FIRST (ONE pass over base ∪
+    # batch): every later consumer — tree build, assignment, key diff,
+    # dirty re-encode, manifest reconciliation, checkpoint swap — reads
+    # the durable parquet instead of re-evaluating the union lineage.
+    # (The r3 shape kept new_assigned lazy, so each consuming action
+    # recomputed the whole union tree + assignment: 4-5 corpus passes
+    # that made a 1% append SLOWER than a full re-export at bench scale.)
+    # stage-0 is purely ADDITIVE under the append-only url contract: when
+    # the base checkpoint exists as parquet, hard-link its data files into
+    # the tmp and write only the batch beside them — O(batch) bytes
+    # instead of an O(corpus) rewrite (the parquet-fallback analogue of an
+    # Iceberg fast-append snapshot: new data files + manifest re-list).
+    if ckpt.is_complete("stage0_instances") and ckpt.fmt == "parquet":
+        tmp0 = _stage0_additive_tmp(ckpt, new_inst.select(*old_inst.columns))
+    else:
+        tmp0 = _stage_to_tmp(ckpt, "stage0_instances", union_inst)
+    union = spark.read.format(ckpt.fmt).load(tmp0)
+
+    # 1-2: tree + assignment over the union (linear), then the key diff;
+    # both materialized into their checkpoint tmps immediately
+    tree = tiling.build_tile_tree(union, bounds, opts)
+    new_assigned = tiling.assign_to_content_tiles(union, tree, opts)
     n_part = max(int(spark.conf.get("spark.sql.shuffle.partitions")), 1)
-    new_assigned = new_assigned.repartitionByRange(n_part, *TILE_KEY)
+    tmp3 = _stage_to_tmp(
+        ckpt, "stage3_assigned",
+        new_assigned.repartitionByRange(n_part, *TILE_KEY),
+    )
+    new_assigned = spark.read.format(ckpt.fmt).load(tmp3)
+    tmp2 = _stage_to_tmp(ckpt, "stage2_tiles", tree.tiles)
+    tiles = spark.read.format(ckpt.fmt).load(tmp2)
 
     dirty = dirty_tiles(old_assigned, new_assigned).localCheckpoint()
     n_dirty = dirty.count()
@@ -374,12 +411,12 @@ def incremental_append(
     # REGION, not the corpus tree. Appends never remove content, so no
     # subtree file is ever deleted; the manifest is merged like content.
     old_tiles = ckpt.read("stage2_tiles")
-    changed_keys = _changed_tile_keys(old_tiles, tree.tiles)
+    changed_keys = _changed_tile_keys(old_tiles, tiles)
     affected_roots = subtree.affected_subtree_roots(
         changed_keys, subtree_levels
     ).localCheckpoint()
     subs_df = subtree.build_subtrees_spark(
-        tree.tiles, subtree_levels, roots=affected_roots
+        tiles, subtree_levels, roots=affected_roots
     )
     sub_files = subs_df.select(
         F.format_string("%d_%d_%d.subtree", "root_level", "root_x", "root_y")
@@ -404,7 +441,7 @@ def incremental_append(
     # level-0 root is unique, so the 2nd sorted subtree sits at the 2nd
     # distinct root level whenever one exists.
     root_levels = (
-        tree.tiles.filter(F.col("n_instances") > 0)
+        tiles.filter(F.col("n_instances") > 0)
         .select((F.col("level") - F.col("level") % subtree_levels)
                 .alias("rl"))
         .distinct().orderBy("rl").limit(2).collect()
@@ -413,7 +450,7 @@ def incremental_append(
         int(root_levels[1]["rl"]) if len(root_levels) > 1 else 2
     )
     avail_levels = (
-        tree.tiles.agg((F.max("level") + F.lit(1)).alias("al"))
+        tiles.agg((F.max("level") + F.lit(1)).alias("al"))
         .collect()[0]["al"]
     )
     region = bounds.to_region(radians=not opts.keep_projection)
@@ -426,20 +463,14 @@ def incremental_append(
     with open(os.path.join(output_dir, "tileset.json"), "w") as f:
         f.write(ts_json)
 
-    # 5: refresh checkpoints to the post-append state so the next append
-    # diffs against it. TWO phases: first materialize every refreshed
-    # stage into a temp location (their lineages read the OLD checkpoint
-    # files, which must still exist), then swap all into place and mark
-    # done. Payload/reduce checkpoints are dropped — they describe the old
-    # member sets.
-    refreshed = {
-        "stage0_instances": union_inst,
-        "stage3_assigned": new_assigned,
-        "stage2_tiles": tree.tiles,
-    }
+    # 5: swap the already-materialized stage tmps into place and mark
+    # done (directory renames — the data was written exactly once, up
+    # front). Payload/reduce checkpoints are dropped — they describe the
+    # old member sets.
     tmps = {
-        stage: _stage_to_tmp(ckpt, stage, df)
-        for stage, df in refreshed.items()
+        "stage0_instances": tmp0,
+        "stage3_assigned": tmp3,
+        "stage2_tiles": tmp2,
     }
     for stage, tmp in tmps.items():
         _swap_in(ckpt, stage, tmp, input_fingerprint=append_fp)
@@ -494,6 +525,37 @@ def _chained_fingerprint(
     ).hexdigest()
 
 
+def _stage0_additive_tmp(ckpt: CheckpointManager, new_inst: DataFrame) -> str:
+    """Refreshed stage-0 tmp built additively: hard-link the base
+    checkpoint's files (no data copied — links share inodes, and the swap
+    rename keeps them alive when the old directory is dropped) and write
+    ONLY the batch as extra parquet files beside them. Falls back to
+    copies on filesystems without hard links."""
+    import shutil
+
+    src_dir = ckpt._stage_path("stage0_instances")
+    tmp = src_dir + "._incr"
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp)
+    for name in os.listdir(src_dir):
+        if name.startswith(("_", ".")):
+            continue
+        src, dst = os.path.join(src_dir, name), os.path.join(tmp, name)
+        try:
+            os.link(src, dst)
+        except OSError:
+            shutil.copy2(src, dst)
+    scratch = src_dir + "._batch"
+    new_inst.write.mode("overwrite").parquet(scratch)
+    for name in os.listdir(scratch):
+        if name.startswith(("_", ".")):
+            continue
+        os.replace(os.path.join(scratch, name),
+                   os.path.join(tmp, "batch-" + name))
+    shutil.rmtree(scratch, ignore_errors=True)
+    return tmp
+
+
 def _stage_to_tmp(ckpt: CheckpointManager, stage: str, df: DataFrame) -> str:
     """Materialize the refreshed stage beside its final path (the df's
     lineage may read the CURRENT checkpoint files — they must survive
@@ -505,16 +567,21 @@ def _stage_to_tmp(ckpt: CheckpointManager, stage: str, df: DataFrame) -> str:
 
 def _swap_in(ckpt: CheckpointManager, stage: str, tmp: str,
              input_fingerprint: str = "") -> None:
-    """Replace the stage checkpoint with the temp materialization and mark
-    done (single-writer pipeline; crash between swaps leaves a state the
-    next full run_export rebuilds from its own fingerprints). The recorded
+    """Replace the stage checkpoint with the temp materialization by
+    DIRECTORY RENAME — every refreshed stage was already fully
+    materialized into its tmp before any swap runs, so no lineage still
+    reads the old files and the data need not flow through the engine a
+    second time (the old read-back + rewrite doubled the append's IO).
+    Crash between swaps leaves a state the next full run_export rebuilds
+    from its own fingerprints (single-writer pipeline). The recorded
     fingerprint is the append CHAIN fingerprint, so post-append resumes
     keep input pinning (VERDICT r3 item 7)."""
     import shutil
 
-    out = ckpt.spark.read.format(ckpt.fmt).load(tmp)
-    out.write.mode("overwrite").format(ckpt.fmt).save(ckpt._stage_path(stage))
-    shutil.rmtree(tmp, ignore_errors=True)
+    final = ckpt._stage_path(stage)
+    shutil.rmtree(final, ignore_errors=True)
+    os.replace(tmp, final)
+    # parquet count() is footer-metadata-only — no data pass
     n = ckpt.read(stage).count()
     os.makedirs(os.path.dirname(ckpt._done_marker(stage)), exist_ok=True)
     with open(ckpt._done_marker(stage), "w") as f:

@@ -246,6 +246,31 @@ class TestIncrementalGuards:
         with pytest.raises(StaleCheckpointError):
             run_export(spark.read.parquet(base_path), OPTS, out, bounds=BB)
 
+    def test_stage0_refresh_is_additive(self, spark, tmp_path):
+        """The refreshed stage-0 checkpoint must reuse the base's data
+        files by hard link (same inode — zero corpus bytes rewritten) and
+        add only batch files: the Iceberg-fast-append analogue that keeps
+        append cost O(batch), not O(corpus)."""
+        base, batch, _ = _split(spark, 700, 600)
+        out = str(tmp_path / "o")
+        run_export(base, OPTS, out, bounds=BB)
+        s0 = os.path.join(out, "_checkpoints", "stage0_instances")
+
+        def data_files(d):
+            return {
+                f: os.stat(os.path.join(d, f)).st_ino
+                for f in os.listdir(d) if not f.startswith(("_", "."))
+            }
+
+        before = data_files(s0)
+        incremental_append(batch, out)
+        after = data_files(s0)
+        assert set(before) <= set(after), "base data files were dropped"
+        for f, ino in before.items():
+            assert after[f] == ino, f"base file {f} was rewritten, not linked"
+        assert any(f.startswith("batch-") for f in after)
+        assert spark.read.parquet(s0).count() == 700
+
     def test_preprojected_base_append_byte_parity(self, spark, tmp_path):
         """A base export over an already-projected durable instance table
         takes the stage-0 shortcut (no stage0 checkpoint — the source IS
