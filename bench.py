@@ -134,33 +134,13 @@ def main() -> None:
     # sink sustains export throughput (VERDICT r1 item 1 done-criterion)
     import shutil
 
-    e2e_dir = tempfile.mkdtemp(prefix="bench_e2e_")
     from i3dm_export_spark.config import ExportOptions as _EO
+    from i3dm_export_spark.plans.incremental import incremental_append
     from i3dm_export_spark.plans.pipeline import run_export
-
-    t0 = time.perf_counter()
-    summary = run_export(
-        pages,
-        _EO(max_features_per_tile=1000, max_level=14, use_i3dm=True),
-        e2e_dir,
-        subtree_levels=2,
-    )
-    dt = time.perf_counter() - t0
-    timings["export_e2e_sinks"] = round(dt, 3)
-    extras["e2e_instances_per_sec"] = round(n_instances / dt, 1)
-    extras["e2e_content_files"] = summary["n_content_tiles"]
-    extras["e2e_subtree_files"] = summary["n_subtree_files"]
-
-    # ---- incremental append: ~1% localized batch onto the e2e export ------
-    # (VERDICT r3 item 6: dirty-tile economics at bench scale). New urls
-    # beyond the base id range, remapped into a small interior box so the
-    # dirty region is LOCAL — the wall should sit far below a full
-    # re-export, with n_dirty_tiles << n_content_tiles. Single trial: an
-    # append consumes its base state (same urls again would refuse).
     from pyspark.sql import functions as F
 
-    from i3dm_export_spark.plans.incremental import incremental_append
-
+    # ~1% append batch: new urls beyond the base id range, remapped into a
+    # small interior box so the dirty region is LOCAL (VERDICT r3 item 6)
     n_batch = max(N_EXPORT // 100, 1)
     batch = (
         pages_df_distributed(
@@ -183,18 +163,39 @@ def main() -> None:
             * F.lit(0.0002),
         )
     )
-    t0 = time.perf_counter()
-    app = incremental_append(batch, e2e_dir)
-    dt = time.perf_counter() - t0
-    timings["incremental_append_1pct"] = round(dt, 3)
+
+    # e2e + append run as a PAIR per trial (the append consumes the fresh
+    # export's state), each leg recorded as the min over trials — single
+    # shots were the last legs still exposed to co-tenant bursts
+    best_e2e = best_app = float("inf")
+    summary = app = None
+    for _ in range(TRIALS):
+        e2e_dir = tempfile.mkdtemp(prefix="bench_e2e_")
+        t0 = time.perf_counter()
+        summary = run_export(
+            pages,
+            _EO(max_features_per_tile=1000, max_level=14, use_i3dm=True),
+            e2e_dir,
+            subtree_levels=2,
+        )
+        best_e2e = min(best_e2e, time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        app = incremental_append(batch, e2e_dir)
+        best_app = min(best_app, time.perf_counter() - t0)
+        shutil.rmtree(e2e_dir, ignore_errors=True)
+
+    timings["export_e2e_sinks"] = round(best_e2e, 3)
+    extras["e2e_instances_per_sec"] = round(n_instances / best_e2e, 1)
+    extras["e2e_content_files"] = summary["n_content_tiles"]
+    extras["e2e_subtree_files"] = summary["n_subtree_files"]
+    timings["incremental_append_1pct"] = round(best_app, 3)
     extras["append_new_instances"] = app["n_new_instances"]
     extras["append_dirty_tiles"] = app["n_dirty_tiles"]
     extras["append_content_tiles"] = app["n_content_tiles"]
     extras["append_dirty_subtrees"] = app["n_dirty_subtrees"]
     extras["append_speedup_vs_full"] = round(
-        timings["export_e2e_sinks"] / max(dt, 1e-9), 2
+        best_e2e / max(best_app, 1e-9), 2
     )
-    shutil.rmtree(e2e_dir, ignore_errors=True)
 
     # ---- operator queries at the sf dir ------------------------------------
     qs = entry.queries()
