@@ -9,6 +9,14 @@ the pipeline's real checkpoint format — and both timed runs read the same
 files in separate JVMs sized to their core count, so the measurement covers
 exactly the stage1->stage4 export (scan -> extent -> tree -> assignment ->
 ECEF encode -> i3dm payload encode). Writes BENCH_SCALING.md.
+
+SCALING_TMPFS=1 stages the input under /dev/shm and points SPARK_LOCAL_DIRS
+(shuffle spill) there too. Rationale: this sandbox has ONE shared disk whose
+scan bandwidth is flat from 2 to 8 threads (measured 1.01x, BENCH_SCALING.md),
+so the raw single-box ladder under-reads the N->4N-EXECUTORS regime the
+north_rule targets, where every added node brings its own disks. tmpfs gives
+each leg the per-node I/O a real cluster owns, isolating the engine's own
+scaling from the sandbox's shared-disk artifact.
 """
 
 from __future__ import annotations
@@ -21,8 +29,16 @@ import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 ROWS = int(os.environ.get("SCALING_ROWS", 24_000_000))
-STAGE_DIR = os.environ.get("SCALING_STAGE_DIR", f"/tmp/scaling_pages_{ROWS}")
+TMPFS = os.environ.get("SCALING_TMPFS", "") == "1"
+STAGE_DIR = os.environ.get(
+    "SCALING_STAGE_DIR",
+    f"{'/dev/shm' if TMPFS else '/tmp'}/scaling_pages_{ROWS}",
+)
 MAX_FEATURES = int(os.environ.get("SCALING_MAX_FEATURES", 4_000))
+if TMPFS:
+    # shuffle spill on tmpfs too — per-node disks, not the shared one
+    os.makedirs("/dev/shm/spark_local", exist_ok=True)
+    os.environ.setdefault("SPARK_LOCAL_DIRS", "/dev/shm/spark_local")
 
 PREP = r"""
 import sys
