@@ -33,7 +33,9 @@ def build_parser() -> argparse.ArgumentParser:
         "geocoded instance table",
     )
     # ---- reference flags (src/Options.cs), same names and defaults ----
-    p.add_argument("-c", "--connection", required=True,
+    # required unless --vacuum_checkpoints (validated in main: maintenance
+    # mode needs only -o/--checkpoint_dir)
+    p.add_argument("-c", "--connection", default=None,
                    help="input table location (parquet/Iceberg path)")
     p.add_argument("-t", "--table", default="",
                    help="table (sub-path) under the connection location")
@@ -70,6 +72,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--master", default=None,
                    help="Spark master (default local[all cores])")
     p.add_argument("--checkpoint_dir", default=None)
+    p.add_argument("--vacuum_checkpoints", action="store_true",
+                   help="garbage-collect the checkpoint root (crash "
+                   "scratch, markerless stages, orphaned lineage) and "
+                   "exit — no export runs. Prints a JSON report")
     p.add_argument("--append", action="store_true",
                    help="treat -c as a NEW batch to append to the existing "
                    "export at -o: only dirty tiles re-encode "
@@ -155,6 +161,18 @@ def main(argv=None, spark=None) -> dict:
     from .config import ExportOptions
     from .plans.pipeline import run_export
     from .session import get_spark
+
+    if args.vacuum_checkpoints:
+        # maintenance mode: no Spark session, no export — pure filesystem
+        from .plans.checkpoint import vacuum
+
+        root = args.checkpoint_dir or os.path.join(args.output, "_checkpoints")
+        report = vacuum(root)
+        print(json.dumps(report))
+        return report
+
+    if args.connection is None:
+        raise SystemExit("the following arguments are required: -c/--connection")
 
     try:
         heights = tuple(float(v) for v in args.boundingvolume_heights.split(","))

@@ -166,6 +166,95 @@ def anti_join_pending(work: DataFrame, completed: DataFrame,
     return work.join(completed.select(*keys).distinct(), list(keys), "left_anti")
 
 
+#: scratch-directory suffixes the incremental append writes beside a stage
+#: before its atomic rename swap (plans/incremental._stage_to_tmp /
+#: _stage0_additive_tmp). A crash between materialize and swap strands them.
+_SCRATCH_SUFFIXES = ("._incr", "._batch")
+
+
+def vacuum(root: str, dry_run: bool = False) -> dict:
+    """Garbage-collect a checkpoint root after crashes: reclaim scratch
+    space and repair marker/data mismatches so the next resume is clean.
+
+    At cluster scale a killed job can strand multi-TB directories that the
+    resume contract tolerates (``run_stage`` rebuilds with overwrite) but
+    never deletes. Four orphan classes, each safe to remove under the
+    single-writer pipeline contract:
+
+    1. **swap scratch** — ``<stage>._incr`` / ``<stage>._batch`` left by an
+       append that died between materialization and its rename swap;
+    2. **incomplete stages** — a stage data dir with no ``.done.json``
+       marker (crashed mid-write; the next run overwrites it anyway);
+    3. **orphaned markers/lineage** — a done marker or ``_lineage/<stage>``
+       whose stage data dir is gone (half-dropped stage). Left in place,
+       the marker makes ``is_complete`` true while ``read`` fails — this is
+       a repair, not just a space reclaim;
+    4. **Spark write residue** — ``_temporary`` job dirs inside a stage
+       from a killed Spark write.
+
+    Never touches a complete stage's data, marker, or lineage. Returns
+    ``{"removed": [paths], "reclaimed_bytes": N, "kept_stages": [names]}``;
+    with ``dry_run=True`` it only reports.
+    """
+    import shutil
+
+    removed: list[str] = []
+    reclaimed = 0
+    kept: list[str] = []
+
+    def _rm(path: str) -> None:
+        nonlocal reclaimed
+        reclaimed += (
+            _dir_bytes(path) if os.path.isdir(path)
+            else os.path.getsize(path)
+        )
+        removed.append(path)
+        if not dry_run:
+            if os.path.isdir(path):
+                shutil.rmtree(path, ignore_errors=True)
+            else:
+                try:
+                    os.remove(path)
+                except FileNotFoundError:
+                    pass
+
+    if not os.path.isdir(root):
+        return {"removed": removed, "reclaimed_bytes": 0, "kept_stages": kept}
+
+    lineage_dir = os.path.join(root, "_lineage")
+    for name in sorted(os.listdir(root)):
+        path = os.path.join(root, name)
+        if not os.path.isdir(path):
+            continue
+        if name.endswith(_SCRATCH_SUFFIXES):  # class 1
+            _rm(path)
+            continue
+        # underscore-prefixed dirs are shared infrastructure, not stages
+        # (_lineage, the sinks' _sink_manifests, export metadata) — stage
+        # names never start with '_', so "no done marker" proves nothing
+        # about them. Their own scratch (class-1 suffixes) is still caught
+        # above.
+        if name.startswith("_"):
+            continue
+        marker = os.path.join(lineage_dir, name + ".done.json")
+        if not os.path.exists(marker):  # class 2
+            _rm(path)
+            continue
+        kept.append(name)
+        tmp = os.path.join(path, "_temporary")  # class 4
+        if os.path.isdir(tmp):
+            _rm(tmp)
+
+    if os.path.isdir(lineage_dir):  # class 3
+        for name in sorted(os.listdir(lineage_dir)):
+            stage = name[: -len(".done.json")] if name.endswith(".done.json") else name
+            if not os.path.isdir(os.path.join(root, stage)):
+                _rm(os.path.join(lineage_dir, name))
+
+    return {"removed": removed, "reclaimed_bytes": reclaimed,
+            "kept_stages": kept}
+
+
 def _dir_bytes(path: str) -> int:
     total = 0
     for root, _dirs, files in os.walk(path):
