@@ -76,6 +76,13 @@ def build_parser() -> argparse.ArgumentParser:
                    help="garbage-collect the checkpoint root (crash "
                    "scratch, markerless stages, orphaned lineage) and "
                    "exit — no export runs. Prints a JSON report")
+    p.add_argument("--fsck", action="store_true",
+                   help="audit the export at -o against its sink manifests "
+                   "(missing/corrupt/orphaned tiles, tmp residue) and exit "
+                   "— no export runs. Prints a JSON report; exit code 1 "
+                   "when the audit fails")
+    p.add_argument("--fsck_remove_tmp", action="store_true",
+                   help="with --fsck: delete *.tmp.* staging leftovers")
     p.add_argument("--append", action="store_true",
                    help="treat -c as a NEW batch to append to the existing "
                    "export at -o: only dirty tiles re-encode "
@@ -169,6 +176,27 @@ def main(argv=None, spark=None) -> dict:
         root = args.checkpoint_dir or os.path.join(args.output, "_checkpoints")
         report = vacuum(root)
         print(json.dumps(report))
+        return report
+
+    if args.fsck:
+        # maintenance mode: distributed manifest audit of an existing export
+        from .plans.fsck import fsck_export
+
+        own = spark is None
+        if own:
+            spark = get_spark(app_name="i3dm_export_spark_fsck",
+                              master=args.master)
+        try:
+            report = fsck_export(
+                spark, args.output, checkpoint_dir=args.checkpoint_dir,
+                remove_tmp=args.fsck_remove_tmp,
+            )
+        finally:
+            if own:
+                spark.stop()
+        print(json.dumps(report))
+        if not report["ok"]:
+            raise SystemExit(1)
         return report
 
     if args.connection is None:

@@ -1,0 +1,189 @@
+"""Export integrity audit (fsck) against the sink manifests.
+
+The sinks record every written tile as a manifest row (relpath, n_bytes,
+content_md5 — plans/sinks.write_binary_files). At cluster scale an export
+directory drifts from its manifest in ways a resume cannot see until it is
+too late: storage loses or truncates files, a co-writer clobbers a tile, a
+killed sink task strands ``*.tmp.<hex>`` staging files. ``fsck_export``
+verifies the directory against the manifests and reports:
+
+* ``missing``       — manifest row with no file on disk
+* ``size_mismatch`` — file exists, byte length differs from the manifest
+* ``md5_mismatch``  — same size, different content (silent corruption)
+* ``orphans``       — files under the audited roots in NO manifest
+* ``tmp_residue``   — ``*.tmp.*`` staging leftovers from killed sink tasks
+
+Verification is distributed: the manifest is already a parquet table, so
+hashing runs as ``mapInPandas`` over its rows — each executor stats and
+hashes its partition's files from shared storage; the driver sees only the
+per-file verdicts. Orphan detection lists the audited subdirectories
+(listing is metadata-only and cheap relative to content) and anti-joins the
+union of manifests. Report-only by default; ``remove_tmp=True`` deletes the
+tmp residue (never orphans — those need a human).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+#: manifest name -> subdirectory of the export root it covers
+_AUDITED = {"content": "content", "subtrees": "subtrees"}
+
+
+def _verify_rows(root_dir: str):
+    def _verify(batches):
+        import hashlib
+
+        for pdf in batches:
+            status = []
+            for rel, n, md5 in zip(
+                pdf["relpath"], pdf["n_bytes"], pdf["content_md5"]
+            ):
+                path = os.path.join(root_dir, rel)
+                try:
+                    size = os.path.getsize(path)
+                except OSError:
+                    status.append("missing")
+                    continue
+                if size != n:
+                    status.append("size_mismatch")
+                    continue
+                with open(path, "rb") as f:
+                    digest = hashlib.md5(f.read()).hexdigest()
+                status.append("ok" if digest == md5 else "md5_mismatch")
+            yield pd.DataFrame({"relpath": pdf["relpath"], "status": status})
+
+    return _verify
+
+
+def fsck_export(
+    spark: SparkSession,
+    out_dir: str,
+    checkpoint_dir: str | None = None,
+    remove_tmp: bool = False,
+    max_listed: int = 1000,
+) -> dict:
+    """Audit ``out_dir`` against its sink manifests; see module docstring.
+
+    Returns ``{"ok": bool, "counts": {...}, "bad": [...], "orphans": [...],
+    "tmp_residue": [...]}`` with the lists capped at ``max_listed`` entries
+    each (counts are exact). ``ok`` is True iff nothing is missing,
+    mismatched, or orphaned (tmp residue alone does not fail the audit —
+    it is expected after any kill and is removable here)."""
+    from ..packaging import ensure_shipped
+
+    ensure_shipped(spark)
+    ckpt_root = checkpoint_dir or os.path.join(out_dir, "_checkpoints")
+    manifest_root = os.path.join(ckpt_root, "_sink_manifests")
+
+    manifests: list[DataFrame] = []
+    audited_subdirs: list[str] = []
+    for name, subdir in _AUDITED.items():
+        p = os.path.join(manifest_root, name)
+        if os.path.isdir(p):
+            # manifest relpaths are relative to that sink's root dir
+            # (plans/pipeline passes root_dir=<out>/<subdir>); normalize to
+            # export-root-relative so one audit pass covers all sinks
+            manifests.append(
+                spark.read.parquet(p).withColumn(
+                    "relpath", F.concat(F.lit(subdir + "/"), F.col("relpath"))
+                )
+            )
+            audited_subdirs.append(subdir)
+    counts: dict[str, int] = {
+        "ok": 0, "missing": 0, "size_mismatch": 0, "md5_mismatch": 0,
+        "orphans": 0, "tmp_residue": 0,
+    }
+    report: dict = {"ok": True, "counts": counts, "bad": [],
+                    "orphans": [], "tmp_residue": []}
+    if not manifests:
+        report["ok"] = False
+        report["error"] = f"no sink manifests under {manifest_root}"
+        return report
+
+    manifest = manifests[0]
+    for m in manifests[1:]:
+        manifest = manifest.unionByName(m)
+
+    # one verification pass; cache so counts + bounded sample share it.
+    # Samples use TakeOrdered (limit), never collect_list — drift can be
+    # the whole export, and an unbounded list agg would be a driver bomb.
+    verdicts = manifest.mapInPandas(
+        _verify_rows(out_dir), "relpath string, status string"
+    ).cache()
+    try:
+        for r in verdicts.groupBy("status").count().collect():
+            counts[r["status"]] = r["count"]
+        report["bad"] = [
+            {"relpath": r["relpath"], "status": r["status"]}
+            for r in verdicts.filter(F.col("status") != "ok")
+            .orderBy("status", "relpath").limit(max_listed).collect()
+        ]
+    finally:
+        verdicts.unpersist()
+
+    # orphans + tmp residue: walk only the audited subdirectories (never
+    # checkpoints or user files at the root), anti-join the manifest.
+    # The listing STREAMS to a spill file and is read back as a Spark
+    # table — at 10^12 instances the export holds O(10^8) tiles, and a
+    # driver-side list of every relpath would not fit; this keeps driver
+    # memory O(1) regardless of export size.
+    import tempfile
+
+    n_disk = 0
+    tmp_paths: list[str] = []
+    spill = tempfile.NamedTemporaryFile(
+        "w", suffix=".fsck_listing.txt", delete=False
+    )
+    try:
+        with spill:
+            for subdir in audited_subdirs:
+                base = os.path.join(out_dir, subdir)
+                for root, _dirs, files in os.walk(base):
+                    for fn in files:
+                        full = os.path.join(root, fn)
+                        if ".tmp." in fn:
+                            tmp_paths.append(full)
+                        else:
+                            spill.write(os.path.relpath(full, out_dir) + "\n")
+                            n_disk += 1
+        counts["tmp_residue"] = len(tmp_paths)
+        report["tmp_residue"] = [
+            os.path.relpath(p, out_dir) for p in tmp_paths[:max_listed]
+        ]
+        if remove_tmp:
+            for p in tmp_paths:
+                try:
+                    os.remove(p)
+                except FileNotFoundError:
+                    pass
+
+        if n_disk:
+            disk = spark.read.text(spill.name).withColumnRenamed(
+                "value", "relpath"
+            )
+            orphan_df = disk.join(
+                manifest.select("relpath"), "relpath", "left_anti"
+            ).cache()
+            try:
+                counts["orphans"] = orphan_df.count()
+                report["orphans"] = [
+                    r["relpath"] for r in
+                    orphan_df.orderBy("relpath").limit(max_listed).collect()
+                ]
+            finally:
+                orphan_df.unpersist()
+    finally:
+        try:
+            os.remove(spill.name)
+        except FileNotFoundError:
+            pass
+
+    report["ok"] = not (
+        counts["missing"] or counts["size_mismatch"]
+        or counts["md5_mismatch"] or counts["orphans"]
+    )
+    return report

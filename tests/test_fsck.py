@@ -1,0 +1,136 @@
+"""Export integrity audit (plans/fsck.fsck_export).
+
+Drift classes an export directory accumulates at scale: storage loses or
+truncates tiles (missing / size_mismatch), content rots or a co-writer
+clobbers a tile at the same size (md5_mismatch), unknown files appear under
+the audited roots (orphans), killed sink tasks strand *.tmp.* staging files
+(tmp_residue — removable, not an audit failure). A clean export must pass.
+"""
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from i3dm_export_spark.config import ExportOptions
+from i3dm_export_spark.plans.fsck import fsck_export
+from i3dm_export_spark.plans.pipeline import run_export
+from i3dm_export_spark.sources.pages import pages_df
+
+
+@pytest.fixture(scope="module")
+def export_dir(spark, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("fsck") / "out")
+    pages = pages_df(spark, 600, "A")
+    run_export(
+        pages,
+        ExportOptions(geometric_error=1000.0, max_features_per_tile=300,
+                      use_i3dm=True),
+        out,
+    )
+    return out
+
+
+def _one_tile(export_dir: str) -> str:
+    content = os.path.join(export_dir, "content")
+    return os.path.join(content, sorted(os.listdir(content))[0])
+
+
+class TestFsck:
+    def test_clean_export_passes(self, spark, export_dir):
+        rep = fsck_export(spark, export_dir)
+        assert rep["ok"], rep
+        assert rep["counts"]["ok"] > 0
+        assert rep["bad"] == [] and rep["orphans"] == []
+        assert rep["counts"]["missing"] == 0
+        assert rep["counts"]["orphans"] == 0
+
+    def test_detects_all_drift_classes(self, spark, export_dir):
+        tile = _one_tile(export_dir)
+        rel = os.path.relpath(tile, export_dir)
+        orig = open(tile, "rb").read()
+        try:
+            # md5_mismatch: same size, different bytes
+            with open(tile, "r+b") as f:
+                f.seek(len(orig) - 1)
+                f.write(bytes([orig[-1] ^ 0xFF]))
+            # orphan + tmp residue
+            orphan = os.path.join(export_dir, "content", "stray.i3dm")
+            open(orphan, "wb").write(b"stray")
+            tmp = os.path.join(export_dir, "content",
+                               "0_0_0.i3dm.tmp.deadbeef")
+            open(tmp, "wb").write(b"partial")
+            rep = fsck_export(spark, export_dir)
+            assert not rep["ok"]
+            assert rep["counts"]["md5_mismatch"] == 1
+            assert {"relpath": rel, "status": "md5_mismatch"} in rep["bad"]
+            assert rep["counts"]["orphans"] == 1
+            assert rep["orphans"] == ["content/stray.i3dm"]
+            assert rep["counts"]["tmp_residue"] == 1
+            # repair: remove_tmp deletes staging residue only
+            rep2 = fsck_export(spark, export_dir, remove_tmp=True)
+            assert not os.path.exists(tmp)
+            assert os.path.exists(orphan)  # never auto-deleted
+            assert rep2["counts"]["tmp_residue"] == 1
+        finally:
+            open(tile, "wb").write(orig)
+            for p in (orphan, tmp):
+                if os.path.exists(p):
+                    os.remove(p)
+        assert fsck_export(spark, export_dir)["ok"]
+
+    def test_detects_missing_and_truncated(self, spark, export_dir):
+        content = os.path.join(export_dir, "content")
+        tiles = sorted(os.listdir(content))[:2]
+        a = os.path.join(content, tiles[0])
+        b = os.path.join(content, tiles[1])
+        a_bytes, b_bytes = open(a, "rb").read(), open(b, "rb").read()
+        try:
+            os.remove(a)
+            with open(b, "wb") as f:
+                f.write(b_bytes[: len(b_bytes) // 2])
+            rep = fsck_export(spark, export_dir)
+            assert not rep["ok"]
+            assert rep["counts"]["missing"] == 1
+            assert rep["counts"]["size_mismatch"] == 1
+            statuses = {d["relpath"]: d["status"] for d in rep["bad"]}
+            assert statuses[os.path.relpath(a, export_dir)] == "missing"
+            assert statuses[os.path.relpath(b, export_dir)] == "size_mismatch"
+        finally:
+            open(a, "wb").write(a_bytes)
+            open(b, "wb").write(b_bytes)
+        assert fsck_export(spark, export_dir)["ok"]
+
+    def test_no_manifest_is_an_error(self, spark, tmp_path):
+        rep = fsck_export(spark, str(tmp_path))
+        assert not rep["ok"]
+        assert "no sink manifests" in rep["error"]
+
+    def test_max_listed_caps_samples_not_counts(self, spark, export_dir):
+        for i in range(5):
+            open(os.path.join(export_dir, "content", f"stray{i}.bin"),
+                 "wb").write(b"x")
+        try:
+            rep = fsck_export(spark, export_dir, max_listed=2)
+            assert rep["counts"]["orphans"] == 5
+            assert len(rep["orphans"]) == 2
+        finally:
+            for i in range(5):
+                os.remove(os.path.join(export_dir, "content",
+                                       f"stray{i}.bin"))
+
+    def test_cli_fsck_mode(self, spark, export_dir, capsys):
+        import json
+
+        from i3dm_export_spark.__main__ import main
+
+        rep = main(["--fsck", "-o", export_dir], spark=spark)
+        assert rep["ok"]
+        assert json.loads(capsys.readouterr().out.strip())["ok"]
+        stray = os.path.join(export_dir, "content", "stray.bin")
+        open(stray, "wb").write(b"x")
+        try:
+            with pytest.raises(SystemExit):
+                main(["--fsck", "-o", export_dir], spark=spark)
+        finally:
+            os.remove(stray)
