@@ -617,14 +617,241 @@ LANG_SAMPLES_EXTRA2: dict[str, str] = {
 }
 
 
+# fourth training block (VERDICT r3 item 2 follow-through): three new
+# themes per language — a doctor visit, the grandfather's garden and
+# animals, a winter evening at home — composed for this module like the
+# blocks above (no external corpus, ASCII-folded). The sibling sets keep
+# deliberately divergent core vocabulary: cs 'brambory'/'dedecek' vs sk
+# 'zemiaky'/'stary otec', sl 'zdravnik'/'druzina'/'na tleh' vs hr
+# 'lijecnik'/'obitelj'/'na podu', da 'bedstefar'/'bornene' vs no
+# 'bestefaren'/'barna'.
+LANG_SAMPLES_EXTRA3: dict[str, str] = {
+    "en": (
+        "the doctor asked how long i had felt the pain in my back and told "
+        "me to rest for a few days and drink more water in the garden "
+        "behind the house my grandfather grows potatoes carrots and onions "
+        "and keeps a few chickens and a grey horse on winter evenings the "
+        "whole family sits by the fire my mother reads an old book my "
+        "father listens to the radio and the children play quietly on the "
+        "floor"
+    ),
+    "fr": (
+        "le medecin m'a demande depuis combien de temps j'avais mal au dos "
+        "et il m'a dit de me reposer quelques jours et de boire plus d'eau "
+        "dans le jardin derriere la maison mon grand-pere cultive des "
+        "pommes de terre des carottes et des oignons et il garde quelques "
+        "poules et un cheval gris les soirs d'hiver toute la famille "
+        "s'assoit pres du feu ma mere lit un vieux livre mon pere ecoute "
+        "la radio et les enfants jouent doucement par terre"
+    ),
+    "de": (
+        "der arzt fragte mich wie lange ich schon die schmerzen im rucken "
+        "hatte und sagte mir ich solle mich ein paar tage ausruhen und "
+        "mehr wasser trinken im garten hinter dem haus baut mein "
+        "grossvater kartoffeln karotten und zwiebeln an und halt ein paar "
+        "huhner und ein graues pferd an den winterabenden sitzt die ganze "
+        "familie am feuer meine mutter liest ein altes buch mein vater "
+        "hort radio und die kinder spielen leise auf dem boden"
+    ),
+    "nl": (
+        "de dokter vroeg hoe lang ik al pijn in mijn rug had en zei dat ik "
+        "een paar dagen moest rusten en meer water moest drinken in de "
+        "tuin achter het huis verbouwt mijn grootvader aardappelen wortels "
+        "en uien en hij houdt een paar kippen en een grijs paard op "
+        "winteravonden zit de hele familie bij het vuur mijn moeder leest "
+        "een oud boek mijn vader luistert naar de radio en de kinderen "
+        "spelen rustig op de grond"
+    ),
+    "es": (
+        "el medico me pregunto cuanto tiempo llevaba con dolor de espalda "
+        "y me dijo que descansara unos dias y bebiera mas agua en el "
+        "huerto detras de la casa mi abuelo cultiva patatas zanahorias y "
+        "cebollas y tiene unas gallinas y un caballo gris en las tardes de "
+        "invierno toda la familia se sienta junto al fuego mi madre lee un "
+        "libro viejo mi padre escucha la radio y los ninos juegan "
+        "tranquilos en el suelo"
+    ),
+    "pt": (
+        "o medico perguntou ha quanto tempo eu sentia dores nas costas e "
+        "disse me para descansar alguns dias e beber mais agua na horta "
+        "atras da casa o meu avo cultiva batatas cenouras e cebolas e tem "
+        "algumas galinhas e um cavalo cinzento nas noites de inverno toda "
+        "a familia se senta junto ao fogo a minha mae le um livro antigo o "
+        "meu pai ouve radio e as criancas brincam sossegadas no chao"
+    ),
+    "it": (
+        "il medico mi ha chiesto da quanto tempo avevo dolore alla schiena "
+        "e mi ha detto di riposare qualche giorno e di bere piu acqua "
+        "nell'orto dietro la casa mio nonno coltiva patate carote e "
+        "cipolle e tiene alcune galline e un cavallo grigio nelle sere "
+        "d'inverno tutta la famiglia si siede accanto al fuoco mia madre "
+        "legge un vecchio libro mio padre ascolta la radio e i bambini "
+        "giocano tranquilli sul pavimento"
+    ),
+    "ro": (
+        "medicul m-a intrebat de cat timp ma doare spatele si mi-a spus sa "
+        "ma odihnesc cateva zile si sa beau mai multa apa in gradina din "
+        "spatele casei bunicul meu cultiva cartofi morcovi si cepe si tine "
+        "cateva gaini si un cal gri in serile de iarna toata familia sta "
+        "langa foc mama citeste o carte veche tata asculta radioul iar "
+        "copiii se joaca linistiti pe podea"
+    ),
+    "ca": (
+        "el metge em va preguntar quant de temps feia que em feia mal "
+        "l'esquena i em va dir que descanses uns dies i begues mes aigua a "
+        "l'hort darrere de la casa el meu avi cultiva patates pastanagues "
+        "i cebes i te unes quantes gallines i un cavall gris a les tardes "
+        "d'hivern tota la familia seu a prop del foc la mare llegeix un "
+        "llibre vell el pare escolta la radio i els nens juguen tranquils "
+        "a terra"
+    ),
+    "sv": (
+        "lakaren fragade hur lange jag hade haft ont i ryggen och sa att "
+        "jag skulle vila nagra dagar och dricka mer vatten i tradgarden "
+        "bakom huset odlar min farfar potatis morotter och lok och han "
+        "haller nagra hons och en gra hast pa vinterkvallarna sitter hela "
+        "familjen vid elden min mor laser en gammal bok min far lyssnar pa "
+        "radio och barnen leker tyst pa golvet"
+    ),
+    "da": (
+        "laegen spurgte hvor laenge jeg havde haft ondt i ryggen og sagde "
+        "at jeg skulle hvile mig nogle dage og drikke mere vand i haven "
+        "bag huset dyrker min bedstefar kartofler gulerodder og log og han "
+        "holder nogle hons og en gra hest om vinteraftenerne sidder hele "
+        "familien ved ilden min mor laeser en gammel bog min far horer "
+        "radio og bornene leger stille pa gulvet"
+    ),
+    "no": (
+        "legen spurte hvor lenge jeg hadde hatt vondt i ryggen og sa at "
+        "jeg matte hvile noen dager og drikke mer vann i hagen bak huset "
+        "dyrker bestefaren min poteter gulrotter og lok og han holder noen "
+        "honer og en gra hest om vinterkveldene sitter hele familien ved "
+        "baalet moren min leser en gammel bok faren min horer pa radio og "
+        "barna leker stille pa gulvet"
+    ),
+    "fi": (
+        "laakari kysyi kuinka kauan selkaani oli sattunut ja kaski minun "
+        "levata muutaman paivan ja juoda enemman vetta talon takana "
+        "olevassa puutarhassa isoisani kasvattaa perunoita porkkanoita ja "
+        "sipuleita ja pitaa muutamia kanoja ja harmaan hevosen talvi "
+        "iltoina koko perhe istuu tulen aarella aitini lukee vanhaa kirjaa "
+        "isani kuuntelee radiota ja lapset leikkivat hiljaa lattialla"
+    ),
+    "et": (
+        "arst kusis kui kaua mul on selg valutanud ja utles et ma peaksin "
+        "monda paeva puhkama ja rohkem vett jooma maja taga aias kasvatab "
+        "minu vanaisa kartuleid porgandeid ja sibulaid ning peab moned "
+        "kanad ja halli hobuse talveohtutel istub kogu pere tule aares ema "
+        "loeb vana raamatut isa kuulab raadiot ja lapsed mangivad vaikselt "
+        "porandal"
+    ),
+    "pl": (
+        "lekarz zapytal jak dlugo bolaly mnie plecy i powiedzial ze "
+        "powinienem odpoczac kilka dni i pic wiecej wody w ogrodzie za "
+        "domem moj dziadek uprawia ziemniaki marchewki i cebule i trzyma "
+        "kilka kur i szarego konia w zimowe wieczory cala rodzina siedzi "
+        "przy ogniu moja matka czyta stara ksiazke ojciec slucha radia a "
+        "dzieci bawia sie cicho na podlodze"
+    ),
+    "cs": (
+        "lekar se me zeptal jak dlouho me boli zada a rekl mi abych si "
+        "nekolik dni odpocinul a pil vice vody na zahrade za domem pestuje "
+        "muj dedecek brambory mrkev a cibuli a chova nekolik slepic a "
+        "sedeho kone v zimnich vecerech sedi cela rodina u ohne moje matka "
+        "cte starou knihu otec posloucha radio a deti si tise hraji na "
+        "podlaze"
+    ),
+    "sk": (
+        "lekar sa ma opytal ako dlho ma boli chrbat a povedal mi aby som "
+        "si niekolko dni oddychol a pil viac vody v zahrade za domom "
+        "pestuje moj stary otec zemiaky mrkvu a cibulu a chova niekolko "
+        "sliepok a siveho kona v zimnych veceroch sedi cela rodina pri "
+        "ohni moja matka cita staru knihu otec pocuva radio a deti sa "
+        "ticho hraju na podlahe"
+    ),
+    "sl": (
+        "zdravnik me je vprasal kako dolgo me ze boli hrbet in mi je rekel "
+        "naj nekaj dni pocivam in pijem vec vode na vrtu za hiso moj dedek "
+        "goji krompir korenje in cebulo ter ima nekaj kokosi in sivega "
+        "konja v zimskih vecerih vsa druzina sedi ob ognju mama bere staro "
+        "knjigo oce poslusa radio otroci pa se tiho igrajo na tleh"
+    ),
+    "hr": (
+        "lijecnik me pitao koliko me dugo bole leda i rekao mi je da se "
+        "odmorim nekoliko dana i pijem vise vode u vrtu iza kuce moj djed "
+        "uzgaja krumpir mrkvu i luk te drzi nekoliko kokosi i sivog konja "
+        "u zimskim vecerima cijela obitelj sjedi uz vatru majka cita staru "
+        "knjigu otac slusa radio a djeca se tiho igraju na podu"
+    ),
+    "hu": (
+        "az orvos megkerdezte miota faj a hatam es azt mondta hogy "
+        "pihenjek nehany napot es igyak tobb vizet a haz mogotti kertben a "
+        "nagyapam burgonyat sargarepat es hagymat termeszt es tart nehany "
+        "tyukot meg egy szurke lovat a teli esteken az egesz csalad a tuz "
+        "mellett ul anyam egy regi konyvet olvas apam radiot hallgat a "
+        "gyerekek pedig csendben jatszanak a padlon"
+    ),
+    "tr": (
+        "doktor bana sirtimin ne zamandir agridigini sordu ve birkac gun "
+        "dinlenmemi ve daha fazla su icmemi soyledi evin arkasindaki "
+        "bahcede dedem patates havuc ve sogan yetistirir birkac tavuk ve "
+        "gri bir at besler kis aksamlarinda butun aile atesin basinda "
+        "oturur annem eski bir kitap okur babam radyo dinler cocuklar da "
+        "yerde sessizce oynar"
+    ),
+    "id": (
+        "dokter bertanya sudah berapa lama punggung saya sakit dan "
+        "menyuruh saya beristirahat beberapa hari dan minum lebih banyak "
+        "air di kebun belakang rumah kakek saya menanam kentang wortel dan "
+        "bawang dan memelihara beberapa ayam dan seekor kuda abu abu pada "
+        "malam musim dingin seluruh keluarga duduk dekat api ibu membaca "
+        "buku tua ayah mendengarkan radio dan anak anak bermain dengan "
+        "tenang di lantai"
+    ),
+    "sw": (
+        "daktari aliniuliza tangu lini mgongo wangu umekuwa ukiuma na "
+        "akaniambia nipumzike siku chache na ninywe maji zaidi katika "
+        "bustani nyuma ya nyumba babu yangu analima viazi karoti na "
+        "vitunguu na anafuga kuku wachache na farasi wa kijivu jioni za "
+        "baridi familia nzima hukaa karibu na moto mama anasoma kitabu cha "
+        "zamani baba anasikiliza redio na watoto wanacheza kimya sakafuni"
+    ),
+    "lt": (
+        "gydytojas paklause kiek laiko man skauda nugara ir pasake kad "
+        "turiu kelias dienas pailseti ir gerti daugiau vandens sode uz "
+        "namo mano senelis augina bulves morkas ir svogunus ir laiko "
+        "kelias vistas bei pilka arkli ziemos vakarais visa seima sedi "
+        "prie ugnies mama skaito sena knyga tevas klausosi radijo o vaikai "
+        "tyliai zaidzia ant grindu"
+    ),
+    "lv": (
+        "arsts man jautaja cik ilgi man sap mugura un teica lai es dazas "
+        "dienas atputos un dzeru vairak udens darza aiz majas mans "
+        "vectevs audze kartupelus burkanus un sipolus un tur dazas vistas "
+        "un peleku zirgu ziemas vakaros visa gimene sez pie uguns mate "
+        "lasa vecu gramatu tevs klausas radio un berni klusi spelejas uz "
+        "gridas"
+    ),
+}
+
+
 def _training_samples() -> dict[str, str]:
     return {
-        k: f"{LANG_SAMPLES[k]} {LANG_SAMPLES_EXTRA[k]} {LANG_SAMPLES_EXTRA2[k]}"
+        k: (
+            f"{LANG_SAMPLES[k]} {LANG_SAMPLES_EXTRA[k]} "
+            f"{LANG_SAMPLES_EXTRA2[k]} {LANG_SAMPLES_EXTRA3[k]}"
+        )
         for k in LANG_SAMPLES
     }
 
 LANGID_NGRAM_N = 3
-LANGID_TOP_K = 300
+# 700 (was 300): the r4 fourth training block deliberately gives sibling
+# languages parallel themes, which crowds a 300-gram profile with shared
+# theme trigrams and evicts the discriminative tail (cs->sk, da->no,
+# sl->hr regressions on held-out sentences); at 700 the profiles keep both
+# and the combined held-out set classifies 37/37 (test_langid.py). Profile
+# table is still tiny (25 x 700 rows) for the broadcast join.
+LANGID_TOP_K = 700
 
 
 def build_ngram_profiles(

@@ -459,14 +459,18 @@ def q_text_quality() -> str:
     )
 
 
-def q_text_langid(n: int = 3, top_k: int = 300) -> str:
+def q_text_langid(n: int | None = None, top_k: int | None = None) -> str:
     """Cavnar-Trenkle trigram language ID (functions/text.lang_id_ngram):
     the oracle inlines the SAME rank-weighted profile table the engine
     broadcasts (pure function of the embedded samples), reproduces the
     n-gram explode with substring positions, and applies the identical
     (score DESC, lang ASC) argmax. Integer weights/sums -> bit-exact."""
-    from .functions.text import ngram_profiles
+    from .functions.text import LANGID_NGRAM_N, LANGID_TOP_K, ngram_profiles
 
+    # default to the engine's own constants so a profile retune can never
+    # silently diverge the oracle from the query (r4: top_k 300 -> 700)
+    n = LANGID_NGRAM_N if n is None else n
+    top_k = LANGID_TOP_K if top_k is None else top_k
     profiles = ngram_profiles(n, top_k)
     rows = []
     for lang in sorted(profiles):
