@@ -83,6 +83,19 @@ def build_parser() -> argparse.ArgumentParser:
                    "when the audit fails")
     p.add_argument("--fsck_remove_tmp", action="store_true",
                    help="with --fsck: delete *.tmp.* staging leftovers")
+    p.add_argument("--snapshot", action="store_true",
+                   help="archive the export at -o as a new generation "
+                   "(zero-copy hard links) and exit")
+    p.add_argument("--snapshot_note", default="",
+                   help="free-text note recorded with --snapshot")
+    p.add_argument("--list_snapshots", action="store_true",
+                   help="print the export's generations as JSON and exit")
+    p.add_argument("--rollback", type=int, default=None, metavar="GEN",
+                   help="restore snapshot generation GEN at -o (the "
+                   "current state is auto-archived first) and exit")
+    p.add_argument("--expire_snapshots", type=int, default=None,
+                   metavar="KEEP", help="drop all but the newest KEEP "
+                   "generations and exit")
     p.add_argument("--append", action="store_true",
                    help="treat -c as a NEW batch to append to the existing "
                    "export at -o: only dirty tiles re-encode "
@@ -175,6 +188,23 @@ def main(argv=None, spark=None) -> dict:
 
         root = args.checkpoint_dir or os.path.join(args.output, "_checkpoints")
         report = vacuum(root)
+        print(json.dumps(report))
+        return report
+
+    if (args.snapshot or args.list_snapshots or args.rollback is not None
+            or args.expire_snapshots is not None):
+        # maintenance mode: generation archive — pure filesystem, no Spark
+        from .plans import snapshots as snaps
+
+        if args.snapshot:
+            report = snaps.create_snapshot(args.output, note=args.snapshot_note)
+        elif args.list_snapshots:
+            report = {"snapshots": snaps.list_snapshots(args.output)}
+        elif args.rollback is not None:
+            report = snaps.rollback(args.output, args.rollback)
+        else:
+            report = {"expired": snaps.expire_snapshots(
+                args.output, args.expire_snapshots)}
         print(json.dumps(report))
         return report
 
