@@ -7,10 +7,11 @@ projection + cell encode -> either (a) an append sink of encoded instances
 partitioned by coarse cell (the batch pipeline then tiles snapshots), or
 (b) a watermarked per-cell rolling count used for hot-cell monitoring.
 
-Kept deliberately small: tiling itself stays batch (the reference's output
-contract — availability bitmaps + tileset.json — is a consistent snapshot,
-not an incremental stream; Iceberg-style snapshot tables are the resume
-mechanism, SURVEY.md §2.8).
+Kept deliberately small: this module stops at instance parquet. Since
+round 4, streaming/maintain.py carries the stream INTO the tile directory
+itself — foreachBatch incremental appends with per-micro-batch snapshot
+consistency (the export contract — availability bitmaps + tileset.json —
+is refreshed to a complete valid snapshot by every applied batch).
 """
 
 from __future__ import annotations

@@ -1,0 +1,154 @@
+"""Streaming tile maintenance: a live export continuously appended.
+
+streaming/ingest.py stops at instance parquet (tiling stayed batch because
+the export contract — availability bitmaps + tileset.json — is a consistent
+snapshot). The round-3/4 incremental-append machinery changed the calculus:
+``plans/incremental.incremental_append`` turns ONE batch into a fully
+consistent snapshot (dirty tiles re-encoded, dirty subtrees reassembled,
+tileset refreshed, byte-identical to a from-scratch rebuild of the union).
+``foreachBatch`` over a page stream therefore gives continuous maintenance
+with per-micro-batch snapshot consistency — readers always see a complete,
+valid tileset; between batches nothing is half-written (the sinks replace
+tiles atomically).
+
+Exactly-once: Structured Streaming replays a micro-batch after a failure,
+and a replayed append would trip the upsert guard (urls already present).
+Two independent defenses make the sink replay-idempotent:
+
+1. the last APPLIED batch id is recorded in
+   ``_checkpoints/_streamed_batches.json`` (tmp + atomic rename strictly
+   AFTER the append commits), so a replay of batch N usually finds
+   ``last_applied >= N`` and skips without touching data;
+2. for the crash window between append commit and marker write, the
+   replay falls through to a CONTENT check: if every url in the batch is
+   already present in the base (one url-projected anti-join against the
+   stage-0 checkpoint), the batch was fully applied — record and skip.
+   A PARTIAL overlap is a genuine upsert and still fails loudly via the
+   append's own guard.
+
+Batches whose data would change tile-key semantics (out-of-bounds points,
+url upserts) raise ``IncrementalRebuildRequired`` and FAIL the streaming
+query — loud degradation, same contract as the batch append.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame
+
+
+def _marker_path(output_dir: str, checkpoint_dir: str | None) -> str:
+    root = checkpoint_dir or os.path.join(output_dir, "_checkpoints")
+    return os.path.join(root, "_streamed_batches.json")
+
+
+def last_applied_batch(output_dir: str, checkpoint_dir: str | None = None) -> int:
+    p = _marker_path(output_dir, checkpoint_dir)
+    if not os.path.exists(p):
+        return -1
+    with open(p) as f:
+        return json.load(f).get("last_applied", -1)
+
+
+def _record_applied(output_dir: str, checkpoint_dir: str | None,
+                    batch_id: int, summary: dict) -> None:
+    p = _marker_path(output_dir, checkpoint_dir)
+    os.makedirs(os.path.dirname(p), exist_ok=True)
+    tmp = p + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump({"last_applied": batch_id,
+                   "last_summary": {k: v for k, v in summary.items()
+                                    if isinstance(v, (int, float, str))}}, f)
+    os.replace(tmp, p)
+
+
+def _batch_already_in_base(batch_df: DataFrame, output_dir: str,
+                           checkpoint_dir: str | None) -> bool:
+    """True iff EVERY url in the batch is already in the base export's
+    stage-0 checkpoint — the fully-applied-but-unmarked replay case.
+    url-projected anti-join; parquet column pruning keeps this one thin
+    column scan regardless of corpus width."""
+    root = checkpoint_dir or os.path.join(output_dir, "_checkpoints")
+    stage0 = os.path.join(root, "stage0_instances")
+    if not os.path.isdir(stage0):
+        return False
+    base_urls = batch_df.sparkSession.read.parquet(stage0).select("url")
+    missing = (
+        batch_df.select("url").distinct()
+        .join(base_urls, "url", "left_anti")
+    )
+    return not missing.take(1)
+
+
+def append_batch_fn(
+    output_dir: str,
+    checkpoint_dir: str | None = None,
+    model_glbs: dict | None = None,
+    snapshot_before_batch: bool = False,
+):
+    """The ``foreachBatch`` callable: replay-idempotent incremental append
+    into the export at ``output_dir``. Exposed separately so tests (and
+    batch backfills) can drive it without a streaming query.
+
+    ``snapshot_before_batch=True`` archives a generation before each
+    applied batch (zero-copy, plans/snapshots) — continuous maintenance
+    with per-batch undo."""
+    from ..plans.incremental import incremental_append
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_id <= last_applied_batch(output_dir, checkpoint_dir):
+            return  # replayed batch: already fully applied
+        if not batch_df.take(1):
+            _record_applied(output_dir, checkpoint_dir, batch_id,
+                            {"empty": 1})
+            return
+        if _batch_already_in_base(batch_df, output_dir, checkpoint_dir):
+            # crash happened between append commit and marker write on a
+            # previous attempt: the data is fully in — converge the marker
+            _record_applied(output_dir, checkpoint_dir, batch_id,
+                            {"replay_converged": 1})
+            return
+        if snapshot_before_batch:
+            from ..plans.snapshots import create_snapshot
+
+            create_snapshot(output_dir, note=f"pre stream batch {batch_id}")
+        summary = incremental_append(
+            batch_df, output_dir, checkpoint_dir=checkpoint_dir,
+            model_glbs=model_glbs,
+        )
+        _record_applied(output_dir, checkpoint_dir, batch_id, summary)
+
+    return _apply
+
+
+def maintain_export_stream(
+    pages_stream: DataFrame,
+    output_dir: str,
+    stream_checkpoint_dir: str,
+    export_checkpoint_dir: str | None = None,
+    model_glbs: dict | None = None,
+    snapshot_before_batch: bool = False,
+    trigger_once: bool = True,
+):
+    """Attach a page stream to a live export: every micro-batch becomes an
+    incremental append (dirty tiles only). Returns the StreamingQuery.
+
+    ``stream_checkpoint_dir`` is the Structured Streaming source/offset
+    checkpoint (which files were consumed); the export's own stage
+    checkpoints live under the export as usual. The two are independent —
+    offsets say WHAT was delivered, the applied-batch marker says what
+    was COMMITTED to tiles."""
+    w = (
+        pages_stream.writeStream
+        .foreachBatch(append_batch_fn(
+            output_dir, checkpoint_dir=export_checkpoint_dir,
+            model_glbs=model_glbs,
+            snapshot_before_batch=snapshot_before_batch,
+        ))
+        .option("checkpointLocation", stream_checkpoint_dir)
+    )
+    if trigger_once:
+        w = w.trigger(availableNow=True)
+    return w.start()
