@@ -96,6 +96,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--expire_snapshots", type=int, default=None,
                    metavar="KEEP", help="drop all but the newest KEEP "
                    "generations and exit")
+    p.add_argument("--query_bbox", default=None,
+                   metavar="MINLON,MINLAT,MAXLON,MAXLAT",
+                   help="serving-path query against the export at -o: "
+                   "print intersecting tiles + instance count as JSON "
+                   "and exit")
     p.add_argument("--append", action="store_true",
                    help="treat -c as a NEW batch to append to the existing "
                    "export at -o: only dirty tiles re-encode "
@@ -205,6 +210,32 @@ def main(argv=None, spark=None) -> dict:
         else:
             report = {"expired": snaps.expire_snapshots(
                 args.output, args.expire_snapshots)}
+        print(json.dumps(report))
+        return report
+
+    if args.query_bbox is not None:
+        # serving mode: answer a bbox query from manifests + checkpoints
+        from .plans.serve import query_bbox_summary
+
+        try:
+            bbox = tuple(float(v) for v in args.query_bbox.split(","))
+            if len(bbox) != 4:
+                raise ValueError
+        except ValueError:
+            raise SystemExit(
+                f"--query_bbox: expected 'minlon,minlat,maxlon,maxlat', "
+                f"got {args.query_bbox!r}"
+            )
+        own = spark is None
+        if own:
+            spark = get_spark(app_name="i3dm_export_spark_query",
+                              master=args.master)
+        try:
+            report = query_bbox_summary(
+                spark, args.output, bbox, checkpoint_dir=args.checkpoint_dir)
+        finally:
+            if own:
+                spark.stop()
         print(json.dumps(report))
         return report
 
