@@ -186,8 +186,10 @@ def main() -> None:
     # e2e + append run as a PAIR per trial (the append consumes the fresh
     # export's state), each leg recorded as the min over trials — single
     # shots were the last legs still exposed to co-tenant bursts
-    best_e2e = best_app = float("inf")
-    summary = app = None
+    from i3dm_export_spark.plans.serve import query_bbox_summary
+
+    best_e2e = best_app = best_serve = float("inf")
+    summary = app = served = None
     for _ in range(TRIALS):
         e2e_dir = tempfile.mkdtemp(prefix="bench_e2e_")
         t0 = time.perf_counter()
@@ -201,6 +203,13 @@ def main() -> None:
         t0 = time.perf_counter()
         app = incremental_append(batch, e2e_dir)
         best_app = min(best_app, time.perf_counter() - t0)
+        # serving path against the fresh export: tiles + instances for the
+        # append's interior box (manifest scan + pushed-down parquet filter)
+        t0 = time.perf_counter()
+        served = query_bbox_summary(
+            spark, e2e_dir, (34.04, 44.04, 34.06, 44.06), max_listed=10
+        )
+        best_serve = min(best_serve, time.perf_counter() - t0)
         shutil.rmtree(e2e_dir, ignore_errors=True)
 
     timings["export_e2e_sinks"] = round(best_e2e, 3)
@@ -215,6 +224,9 @@ def main() -> None:
     extras["append_speedup_vs_full"] = round(
         best_e2e / max(best_app, 1e-9), 2
     )
+    timings["serve_query_bbox"] = round(best_serve, 3)
+    extras["serve_tiles"] = served["n_tiles"]
+    extras["serve_instances"] = served["n_instances"]
 
     # ---- operator queries at the sf dir ------------------------------------
     qs = entry.queries()
