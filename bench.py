@@ -189,6 +189,7 @@ def main() -> None:
     from i3dm_export_spark.plans.serve import query_bbox_summary
 
     best_e2e = best_app = best_serve = float("inf")
+    best_pair_speedup = 0.0
     summary = app = served = None
     for _ in range(TRIALS):
         e2e_dir = tempfile.mkdtemp(prefix="bench_e2e_")
@@ -199,10 +200,15 @@ def main() -> None:
             e2e_dir,
             subtree_levels=2,
         )
-        best_e2e = min(best_e2e, time.perf_counter() - t0)
+        e2e_i = time.perf_counter() - t0
+        best_e2e = min(best_e2e, e2e_i)
         t0 = time.perf_counter()
         app = incremental_append(batch, e2e_dir)
-        best_app = min(best_app, time.perf_counter() - t0)
+        app_i = time.perf_counter() - t0
+        best_app = min(best_app, app_i)
+        # append-vs-full is only meaningful within ONE trial (both legs in
+        # the same co-tenant window); cross-trial mins mismatch windows
+        best_pair_speedup = max(best_pair_speedup, e2e_i / max(app_i, 1e-9))
         # serving path against the fresh export: tiles + instances for the
         # append's interior box (manifest scan + pushed-down parquet filter)
         t0 = time.perf_counter()
@@ -221,9 +227,8 @@ def main() -> None:
     extras["append_dirty_tiles"] = app["n_dirty_tiles"]
     extras["append_content_tiles"] = app["n_content_tiles"]
     extras["append_dirty_subtrees"] = app["n_dirty_subtrees"]
-    extras["append_speedup_vs_full"] = round(
-        best_e2e / max(best_app, 1e-9), 2
-    )
+    extras["append_speedup_vs_full"] = round(best_pair_speedup, 2)
+    extras["append_phase_walls"] = app.get("phase_walls", {})
     timings["serve_query_bbox"] = round(best_serve, 3)
     extras["serve_tiles"] = served["n_tiles"]
     extras["serve_instances"] = served["n_instances"]

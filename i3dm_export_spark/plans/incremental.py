@@ -236,6 +236,17 @@ def incremental_append(
 ) -> dict:
     """Apply an append batch to an existing export; returns a summary with
     the dirty-tile economics (``n_dirty_tiles`` vs ``n_content_tiles``)."""
+    import time as _time
+
+    walls: dict[str, float] = {}
+    _t0 = _time.perf_counter()
+
+    def _mark(phase: str) -> None:
+        nonlocal _t0
+        now = _time.perf_counter()
+        walls[phase] = round(walls.get(phase, 0.0) + (now - _t0), 3)
+        _t0 = now
+
     spark = new_pages.sparkSession
     ckpt_root = checkpoint_dir or os.path.join(output_dir, "_checkpoints")
     ckpt = CheckpointManager(spark, ckpt_root)
@@ -309,6 +320,7 @@ def incremental_append(
             "the batch or run a full re-export for upserts"
         )
 
+    _mark("guards")
     union_inst = old_inst.unionByName(new_inst.select(*old_inst.columns))
 
     # materialize the refreshed stage-0 FIRST (ONE pass over base ∪
@@ -328,6 +340,7 @@ def incremental_append(
     else:
         tmp0 = _stage_to_tmp(ckpt, "stage0_instances", union_inst)
     union = spark.read.format(ckpt.fmt).load(tmp0)
+    _mark("stage0_materialize")
 
     # 1-2: tree + assignment over the union (linear), then the key diff;
     # both materialized into their checkpoint tmps immediately
@@ -341,9 +354,11 @@ def incremental_append(
     new_assigned = spark.read.format(ckpt.fmt).load(tmp3)
     tmp2 = _stage_to_tmp(ckpt, "stage2_tiles", tree.tiles)
     tiles = spark.read.format(ckpt.fmt).load(tmp2)
+    _mark("tree_and_assignment")
 
     dirty = dirty_tiles(old_assigned, new_assigned).localCheckpoint()
     n_dirty = dirty.count()
+    _mark("dirty_diff")
 
     content_dir = os.path.join(output_dir, "content")
     subtrees_dir = os.path.join(output_dir, "subtrees")
@@ -403,6 +418,7 @@ def incremental_append(
     ).localCheckpoint()
     n_content = new_manifest.count()
     new_manifest.write.mode("overwrite").parquet(manifest_dir)
+    _mark("reencode_dirty")
 
     # 4: subtrees + tileset.json. Reassemble ONLY subtrees whose
     # bit-relevant tile rows changed (new tile key, content flag flip, or
@@ -435,6 +451,7 @@ def incremental_append(
     ).localCheckpoint()
     n_subtree_files = merged_sub.count()
     merged_sub.write.mode("overwrite").parquet(sub_manifest_dir)
+    _mark("subtrees")
 
     # subtreeLevels inference (reference src/Program.cs:151: level of the
     # 2nd subtree in sorted key order, else 2) from the union tree — the
@@ -478,10 +495,16 @@ def incremental_append(
                   "stage1_encoded"):
         _drop_stage(ckpt, stale)
 
+    _mark("tileset_and_swap")
     return {
+        "phase_walls": walls,
         # union_inst's lineage read the PRE-swap checkpoint files; count
         # from the refreshed checkpoint instead
-        "n_instances": ckpt.read("stage0_instances").count(),
+        "n_instances": (
+            _parquet_rows(ckpt._stage_path("stage0_instances"))
+            if ckpt.fmt == "parquet"
+            else ckpt.read("stage0_instances").count()
+        ),
         "n_new_instances": new_inst.count(),
         "n_dirty_tiles": n_dirty,
         "n_rewritten_files": n_written,
@@ -565,6 +588,21 @@ def _stage_to_tmp(ckpt: CheckpointManager, stage: str, df: DataFrame) -> str:
     return tmp
 
 
+def _parquet_rows(path: str) -> int:
+    """Row count from parquet footers directly (pyarrow) — the Spark
+    ``count()`` here is footer-only too, but still pays a full job's
+    scheduler latency; an append runs several of these, so the fixed costs
+    add up at small batch sizes."""
+    import pyarrow.parquet as pq
+
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for fn in files:
+            if fn.endswith(".parquet"):
+                total += pq.ParquetFile(os.path.join(root, fn)).metadata.num_rows
+    return total
+
+
 def _swap_in(ckpt: CheckpointManager, stage: str, tmp: str,
              input_fingerprint: str = "") -> None:
     """Replace the stage checkpoint with the temp materialization by
@@ -581,8 +619,10 @@ def _swap_in(ckpt: CheckpointManager, stage: str, tmp: str,
     final = ckpt._stage_path(stage)
     shutil.rmtree(final, ignore_errors=True)
     os.replace(tmp, final)
-    # parquet count() is footer-metadata-only — no data pass
-    n = ckpt.read(stage).count()
+    # footer-metadata row count, no Spark job (parquet fallback only;
+    # other formats go through the engine)
+    n = (_parquet_rows(final) if ckpt.fmt == "parquet"
+         else ckpt.read(stage).count())
     os.makedirs(os.path.dirname(ckpt._done_marker(stage)), exist_ok=True)
     with open(ckpt._done_marker(stage), "w") as f:
         json.dump({"stage": stage, "n_rows": n, "incremental": True,
