@@ -84,6 +84,11 @@ def create_snapshot(out_dir: str, note: str = "") -> dict:
     """Archive the current export as the next generation; returns the
     manifest dict (``gen``, ``note``, ``n_files``, ``n_bytes`` — logical
     bytes covered, not bytes copied)."""
+    root = _snap_root(out_dir)
+    if os.path.isdir(root):  # sweep tmps from ANY crashed snapshot attempt
+        for name in os.listdir(root):
+            if name.endswith(".tmp"):
+                shutil.rmtree(os.path.join(root, name), ignore_errors=True)
     existing = list_snapshots(out_dir)
     gen = (existing[-1]["gen"] + 1) if existing else 1
     gdir = _gen_dir(out_dir, gen)

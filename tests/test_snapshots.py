@@ -147,6 +147,22 @@ class TestSnapshotRollback:
         # numbering continues after expiry (no id reuse)
         assert create_snapshot(out)["gen"] == 4
 
+    def test_crashed_snapshot_tmp_swept(self, spark, tmp_path):
+        """A killed create_snapshot leaves g<N>.tmp; the next snapshot
+        sweeps it (a generation only ever appears atomically)."""
+        out = str(tmp_path / "out")
+        base, _ = _split(spark, 300, 299)
+        run_export(base, OPTS, out, bounds=BB)
+        create_snapshot(out)
+        stale = os.path.join(out, "_snapshots", "g0099.tmp")
+        os.makedirs(os.path.join(stale, "files"))
+        with open(os.path.join(stale, "files", "junk"), "wb") as f:
+            f.write(b"x")
+        m = create_snapshot(out)
+        assert m["gen"] == 2
+        assert not os.path.exists(stale)
+        assert [g["gen"] for g in list_snapshots(out)] == [1, 2]
+
     def test_rollback_unknown_generation(self, spark, tmp_path):
         out = str(tmp_path / "out")
         base, _ = _split(spark, 300, 299)
