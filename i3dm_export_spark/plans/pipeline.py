@@ -48,8 +48,16 @@ def stage0_instances(pages: DataFrame) -> DataFrame:
     # idempotent: accept already-projected instances (text_fp precomputed)
     if "text_fp" in pages.columns:
         out = pages
-    else:
+    elif "text" in pages.columns:
         out = pages.withColumn("text_fp", F.xxhash64(F.col("text")))
+    else:
+        # ADVICE r4 #4: a source without a text column (e.g. a legacy
+        # PostGIS instance table read with custom extra_cols) must not
+        # fail stage 0 — pin text_fp to the xxhash64 of NULL (a constant),
+        # making the byte-identical-text invariant vacuously stable.
+        out = pages.withColumn(
+            "text_fp", F.xxhash64(F.lit(None).cast("string"))
+        )
     missing_defaults = {
         "z": F.lit(0.0), "scale": F.lit(1.0), "yaw": F.lit(0.0),
         "pitch": F.lit(0.0), "roll": F.lit(0.0),

@@ -103,7 +103,8 @@ def instances_query(
     geometry_column: str = "geom",
     query: str = "",
     extra_cols: tuple[str, ...] = (
-        "url", "scale", "rotation", "yaw", "pitch", "roll", "model", "tags",
+        "url", "text", "scale", "rotation", "yaw", "pitch", "roll", "model",
+        "tags",
     ),
 ) -> str:
     """Server-side projection pushed into the JDBC subquery: point coords
@@ -114,7 +115,10 @@ def instances_query(
     table). A wildcard would re-select the geometry column and collide
     with tables that already carry lon/lat/z names; callers whose table
     lacks one of the defaults pass their own ``extra_cols``
-    (``stage0_instances`` fills engine defaults for absent optionals)."""
+    (``stage0_instances`` fills engine defaults for absent optionals,
+    including ``text_fp`` when the table carries no ``text`` column —
+    ADVICE r4 #4: the default list MUST include ``text`` so the engine's
+    primary page-table shape derives text_fp without a second scan)."""
     cols = ", ".join(extra_cols)
     where = "" if not query else f" WHERE {query}"
     return (

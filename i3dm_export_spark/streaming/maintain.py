@@ -20,11 +20,12 @@ Two independent defenses make the sink replay-idempotent:
    AFTER the append commits), so a replay of batch N usually finds
    ``last_applied >= N`` and skips without touching data;
 2. for the crash window between append commit and marker write, the
-   replay falls through to a CONTENT check: if every url in the batch is
-   already present in the base (one url-projected anti-join against the
-   stage-0 checkpoint), the batch was fully applied — record and skip.
-   A PARTIAL overlap is a genuine upsert and still fails loudly via the
-   append's own guard.
+   replay falls through to a CONTENT check: if every (url, text_fp, lon,
+   lat) row of the batch is already present in the base (one
+   four-column anti-join against the stage-0 checkpoint), the batch was
+   fully applied — record and skip. A PARTIAL overlap, or a full url
+   overlap with CHANGED content (a genuine upsert), falls through and
+   fails loudly via the append's own guard (ADVICE r4 #1).
 
 Batches whose data would change tile-key semantics (out-of-bounds points,
 url upserts) raise ``IncrementalRebuildRequired`` and FAIL the streaming
@@ -64,21 +65,27 @@ def _record_applied(output_dir: str, checkpoint_dir: str | None,
     os.replace(tmp, p)
 
 
+_REPLAY_KEY = ("url", "text_fp", "lon", "lat")
+
+
 def _batch_already_in_base(batch_df: DataFrame, output_dir: str,
                            checkpoint_dir: str | None) -> bool:
-    """True iff EVERY url in the batch is already in the base export's
-    stage-0 checkpoint — the fully-applied-but-unmarked replay case.
-    url-projected anti-join; parquet column pruning keeps this one thin
-    column scan regardless of corpus width."""
+    """True iff EVERY row of the batch is already in the base export's
+    stage-0 checkpoint BY CONTENT — the fully-applied-but-unmarked replay
+    case. The anti-join keys on (url, text_fp, lon, lat), not url alone:
+    a full-overlap upsert batch (same urls, changed text or position) must
+    NOT be mistaken for a replay — it falls through to the append, whose
+    upsert guard fails it loudly (ADVICE r4 #1). Column pruning keeps this
+    a four-column scan regardless of corpus width."""
     root = checkpoint_dir or os.path.join(output_dir, "_checkpoints")
     stage0 = os.path.join(root, "stage0_instances")
     if not os.path.isdir(stage0):
         return False
-    base_urls = batch_df.sparkSession.read.parquet(stage0).select("url")
-    missing = (
-        batch_df.select("url").distinct()
-        .join(base_urls, "url", "left_anti")
-    )
+    from ..plans.pipeline import stage0_instances
+
+    base = batch_df.sparkSession.read.parquet(stage0).select(*_REPLAY_KEY)
+    batch = stage0_instances(batch_df).select(*_REPLAY_KEY).distinct()
+    missing = batch.join(base, list(_REPLAY_KEY), "left_anti")
     return not missing.take(1)
 
 

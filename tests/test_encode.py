@@ -221,3 +221,23 @@ class TestFusedEcefEncode:
         }
         assert fused.keys() == pre.keys() and len(fused) > 0
         assert fused == pre
+
+
+class TestStage0TextlessSource:
+    def test_stage0_tolerates_missing_text_column(self, spark):
+        """ADVICE r4 #4: a source without a ``text`` column (legacy PostGIS
+        instance table read with custom extra_cols) must not fail stage 0;
+        text_fp pins to the constant xxhash64(NULL)."""
+        from pyspark.sql import functions as F
+
+        from i3dm_export_spark.plans.pipeline import stage0_instances
+        from i3dm_export_spark.sources.pages import pages_df
+
+        pages = pages_df(spark, 50, scenario="A").drop("text")
+        inst = stage0_instances(pages)
+        assert "text_fp" in inst.columns
+        fps = [r[0] for r in inst.select("text_fp").distinct().collect()]
+        expected = spark.range(1).select(
+            F.xxhash64(F.lit(None).cast("string"))
+        ).first()[0]
+        assert fps == [expected]

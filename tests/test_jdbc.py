@@ -75,9 +75,19 @@ class TestQueries:
         extra_cols."""
         q = jdbc.instances_query("t", "geom")
         assert "*" not in q
-        assert "AS z, url, scale, rotation, yaw, pitch, roll, model, tags " in q
+        assert (
+            "AS z, url, text, scale, rotation, yaw, pitch, roll, model, "
+            "tags " in q
+        )
         q2 = jdbc.instances_query("t", "geom", extra_cols=("url", "scale"))
         assert "AS z, url, scale FROM t" in q2
+
+    def test_default_projection_includes_text(self):
+        """ADVICE r4 #4: stage0_instances derives text_fp from ``text``;
+        the default JDBC projection must therefore carry it, or any real
+        ingest with default columns fails with an unresolved-column
+        AnalysisException."""
+        assert "text" in jdbc.instances_query("t", "geom")
 
     def test_probe_bounds_sql(self):
         assert (

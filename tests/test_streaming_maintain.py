@@ -113,6 +113,28 @@ class TestStreamingMaintain:
         with pytest.raises(IncrementalRebuildRequired):
             apply_fn(mixed, 1)
 
+    def test_full_overlap_upsert_fails_loudly(self, spark, tmp_path):
+        """ADVICE r4 #1: a batch whose urls ALL exist in the base but whose
+        content changed (same-urls-different-data upsert) must not be
+        recorded as replay_converged — the content anti-join distinguishes
+        it and the append's upsert guard fails it loudly."""
+        from pyspark.sql import functions as F
+
+        base, b1, _b2, _full = _three_way_split(spark, 700)
+        out = str(tmp_path / "live")
+        run_export(base, OPTS, out, bounds=BB)
+        apply_fn = maintain.append_batch_fn(out)
+        apply_fn(b1, 0)
+        state = _tree_files(out)
+        # full url overlap, changed text -> genuine upsert, not a replay
+        mutated = b1.withColumn("text", F.concat(F.col("text"), F.lit("!")))
+        with pytest.raises(IncrementalRebuildRequired):
+            apply_fn(mutated, 1)
+        assert _tree_files(out) == state  # nothing half-written
+        marker = json.load(open(
+            os.path.join(out, "_checkpoints", "_streamed_batches.json")))
+        assert marker["last_applied"] == 0  # batch 1 NOT recorded
+
     def test_snapshot_before_batch(self, spark, tmp_path):
         from i3dm_export_spark.plans.snapshots import list_snapshots, rollback
 
