@@ -202,11 +202,14 @@ def main(argv=None, spark=None) -> dict:
         from .plans import snapshots as snaps
 
         if args.snapshot:
-            report = snaps.create_snapshot(args.output, note=args.snapshot_note)
+            report = snaps.create_snapshot(args.output,
+                                           note=args.snapshot_note,
+                                           checkpoint_dir=args.checkpoint_dir)
         elif args.list_snapshots:
             report = {"snapshots": snaps.list_snapshots(args.output)}
         elif args.rollback is not None:
-            report = snaps.rollback(args.output, args.rollback)
+            report = snaps.rollback(args.output, args.rollback,
+                                    checkpoint_dir=args.checkpoint_dir)
         else:
             report = {"expired": snaps.expire_snapshots(
                 args.output, args.expire_snapshots)}

@@ -30,10 +30,30 @@ from __future__ import annotations
 import json
 import os
 import shutil
+from concurrent.futures import ThreadPoolExecutor
 
 #: export-root entries covered by a generation
 _ROOTS = ("content", "subtrees", "tileset.json", "_checkpoints")
 _SNAPDIR = "_snapshots"
+#: archive prefix for files from an EXTERNAL checkpoint root (one not under
+#: out_dir) — kept disjoint from the out_dir-relative namespace
+_EXT_PREFIX = "_external_checkpoints"
+#: metadata ops per file are independent — parallelize the namespace pass
+#: (VERDICT r4: a single-threaded walk is hours at 10^8 tiles)
+_WALK_WORKERS = 16
+
+
+def _external_checkpoint_root(out_dir: str,
+                              checkpoint_dir: str | None) -> str | None:
+    """The checkpoint root iff it lives OUTSIDE out_dir (needs its own
+    archive subtree); None when absent or already covered by _ROOTS."""
+    if not checkpoint_dir:
+        return None
+    cp = os.path.abspath(checkpoint_dir)
+    od = os.path.abspath(out_dir)
+    if cp == od or cp.startswith(od + os.sep):
+        return None  # covered by the out_dir walk
+    return cp
 
 
 def _snap_root(out_dir: str) -> str:
@@ -80,10 +100,22 @@ def _walk_export(out_dir: str):
                     yield os.path.relpath(os.path.join(root, fn), out_dir)
 
 
-def create_snapshot(out_dir: str, note: str = "") -> dict:
+def create_snapshot(out_dir: str, note: str = "",
+                    checkpoint_dir: str | None = None) -> dict:
     """Archive the current export as the next generation; returns the
     manifest dict (``gen``, ``note``, ``n_files``, ``n_bytes`` — logical
-    bytes covered, not bytes copied)."""
+    bytes covered, not bytes copied).
+
+    ``checkpoint_dir``: when the export's stage checkpoints live OUTSIDE
+    ``out_dir`` (the CLI's ``--checkpoint_dir``), pass it so the archive
+    covers them too — otherwise a later rollback would restore old tiles
+    while leaving newer ``stage3_assigned`` in place and the next append
+    would diff against the wrong assignment (ADVICE r4 #2). The external
+    root is recorded in the manifest and restored by :func:`rollback`.
+
+    The namespace pass is parallelized (per-file link/copy are independent
+    metadata ops); wall at 10^8 files is bounded by fs metadata IOPS, not
+    a single caller thread."""
     root = _snap_root(out_dir)
     if os.path.isdir(root):  # sweep tmps from ANY crashed snapshot attempt
         for name in os.listdir(root):
@@ -96,21 +128,35 @@ def create_snapshot(out_dir: str, note: str = "") -> dict:
         shutil.rmtree(gdir)
     tmp = gdir + ".tmp"
     shutil.rmtree(tmp, ignore_errors=True)
-    n_files = 0
-    n_bytes = 0
-    rels = []
+
+    ext_root = _external_checkpoint_root(out_dir, checkpoint_dir)
+    jobs: list[tuple[str, str]] = []  # (src abs, archive rel)
     for rel in _walk_export(out_dir):
-        src = os.path.join(out_dir, rel)
+        jobs.append((os.path.join(out_dir, rel), rel))
+    if ext_root is not None and os.path.isdir(ext_root):
+        for r, _dirs, files in os.walk(ext_root):
+            for fn in files:
+                src = os.path.join(r, fn)
+                rel = os.path.join(_EXT_PREFIX,
+                                   os.path.relpath(src, ext_root))
+                jobs.append((src, rel))
+
+    def _one(job: tuple[str, str]) -> int:
+        src, rel = job
         _link_or_copy(src, os.path.join(tmp, "files", rel))
-        n_files += 1
-        n_bytes += os.path.getsize(src)
-        rels.append(rel)
+        return os.path.getsize(src)
+
+    with ThreadPoolExecutor(max_workers=_WALK_WORKERS) as pool:
+        sizes = list(pool.map(_one, jobs))
+    n_files = len(jobs)
+    n_bytes = sum(sizes)
     manifest = {
         "gen": gen, "note": note, "n_files": n_files, "n_bytes": n_bytes,
     }
     os.makedirs(tmp, exist_ok=True)
     with open(os.path.join(tmp, "manifest.json"), "w") as f:
-        json.dump({**manifest, "files": sorted(rels)}, f)
+        json.dump({**manifest, "files": sorted(rel for _s, rel in jobs),
+                   "external_checkpoint_dir": ext_root}, f)
     os.replace(tmp, gdir)  # a generation appears atomically
     return manifest
 
@@ -130,11 +176,18 @@ def list_snapshots(out_dir: str) -> list[dict]:
     return sorted(out, key=lambda m: m["gen"])
 
 
-def rollback(out_dir: str, gen: int) -> dict:
+def rollback(out_dir: str, gen: int,
+             checkpoint_dir: str | None = None) -> dict:
     """Restore generation ``gen``. The pre-rollback state is archived
     first (as a new generation), so a rollback can itself be undone.
     Returns ``{"restored_gen": gen, "saved_gen": <auto archive id>,
-    "n_files": ...}``."""
+    "n_files": ...}``.
+
+    ``checkpoint_dir`` must be passed iff the export uses an external
+    checkpoint root (ADVICE r4 #2): the archived external checkpoints are
+    restored into it, and mismatches between the caller's root and the one
+    recorded at snapshot time fail loudly — a half-restore (old tiles, new
+    stage3_assigned) would make the next append silently inconsistent."""
     gdir = _gen_dir(out_dir, gen)
     mpath = os.path.join(gdir, "manifest.json")
     if not os.path.exists(mpath):
@@ -142,10 +195,30 @@ def rollback(out_dir: str, gen: int) -> dict:
             f"no snapshot generation g{gen:04d} under {_snap_root(out_dir)}; "
             f"have: {[m['gen'] for m in list_snapshots(out_dir)]}"
         )
-    saved = create_snapshot(out_dir, note=f"auto before rollback to g{gen:04d}")
-
     with open(mpath) as f:
         manifest = json.load(f)
+    recorded_ext = manifest.get("external_checkpoint_dir")
+    caller_ext = _external_checkpoint_root(out_dir, checkpoint_dir)
+    if recorded_ext is not None and caller_ext is None:
+        raise ValueError(
+            f"snapshot g{gen:04d} archived an external checkpoint root "
+            f"({recorded_ext}); rollback without checkpoint_dir would "
+            "restore tiles but leave newer checkpoints in place — pass "
+            "checkpoint_dir"
+        )
+    if recorded_ext is None and caller_ext is not None:
+        raise ValueError(
+            f"snapshot g{gen:04d} covers no external checkpoint root but "
+            f"checkpoint_dir={caller_ext} was passed — this generation "
+            "cannot restore those checkpoints; take snapshots with "
+            "checkpoint_dir for exports using an external root"
+        )
+    dest_ext = caller_ext  # restore into the live root the caller uses
+
+    saved = create_snapshot(out_dir,
+                            note=f"auto before rollback to g{gen:04d}",
+                            checkpoint_dir=checkpoint_dir)
+
     # drop the live state the generation covers, then restore from the
     # archive (links/copies back out — again metadata-only for payloads)
     for name in _ROOTS:
@@ -154,9 +227,18 @@ def rollback(out_dir: str, gen: int) -> dict:
             os.remove(path)
         elif os.path.isdir(path):
             shutil.rmtree(path)
-    for rel in manifest["files"]:
-        _link_or_copy(os.path.join(gdir, "files", rel),
-                      os.path.join(out_dir, rel))
+    if dest_ext is not None and os.path.isdir(dest_ext):
+        shutil.rmtree(dest_ext)
+
+    def _restore(rel: str) -> None:
+        if rel.startswith(_EXT_PREFIX + os.sep):
+            dst = os.path.join(dest_ext, os.path.relpath(rel, _EXT_PREFIX))
+        else:
+            dst = os.path.join(out_dir, rel)
+        _link_or_copy(os.path.join(gdir, "files", rel), dst)
+
+    with ThreadPoolExecutor(max_workers=_WALK_WORKERS) as pool:
+        list(pool.map(_restore, manifest["files"]))
     return {
         "restored_gen": gen,
         "saved_gen": saved["gen"],

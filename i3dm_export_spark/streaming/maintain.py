@@ -120,7 +120,8 @@ def append_batch_fn(
         if snapshot_before_batch:
             from ..plans.snapshots import create_snapshot
 
-            create_snapshot(output_dir, note=f"pre stream batch {batch_id}")
+            create_snapshot(output_dir, note=f"pre stream batch {batch_id}",
+                            checkpoint_dir=checkpoint_dir)
         summary = incremental_append(
             batch_df, output_dir, checkpoint_dir=checkpoint_dir,
             model_glbs=model_glbs,

@@ -134,3 +134,46 @@ class TestFsck:
                 main(["--fsck", "-o", export_dir], spark=spark)
         finally:
             os.remove(stray)
+
+
+class TestFsckScaleSeams:
+    def test_md5_streams_in_chunks(self, tmp_path):
+        """VERDICT r4 #4: hashing must not slurp a whole tile — verify the
+        chunked reader on a file spanning multiple read blocks (2 full
+        8 MiB chunks + a remainder) against a one-shot digest."""
+        import hashlib
+
+        from i3dm_export_spark.plans.fsck import _MD5_CHUNK, _md5_file
+
+        data = os.urandom(1024) * (2 * _MD5_CHUNK // 1024) + b"tail"
+        big = tmp_path / "big.glb"
+        big.write_bytes(data)
+        assert len(data) > 2 * _MD5_CHUNK
+        assert _md5_file(str(big)) == hashlib.md5(data).hexdigest()
+
+    def test_spill_under_export_root_and_cleaned(self, spark, export_dir,
+                                                 monkeypatch):
+        """ADVICE r4 #5: the orphan listing spill must live under the
+        export root (shared storage executors can read), not the driver's
+        /tmp — and must be cleaned up afterwards."""
+        import i3dm_export_spark.plans.fsck as fsck_mod
+
+        seen: list[str] = []
+        orig = spark.read.text
+
+        def _spy(path, *a, **kw):
+            seen.append(path)
+            return orig(path, *a, **kw)
+
+        monkeypatch.setattr(type(spark.read), "text",
+                            lambda self, path, *a, **kw: _spy(path, *a, **kw))
+        rep = fsck_export(spark, export_dir)
+        assert rep["ok"]
+        assert len(seen) == 1
+        assert seen[0].startswith(export_dir + os.sep)
+        assert "fsck-listing." in seen[0]
+        assert not os.path.exists(seen[0])  # removed after the audit
+        leftovers = [f for f in os.listdir(export_dir)
+                     if f.startswith("fsck-listing.")]
+        assert leftovers == []
+        assert fsck_mod  # imported for clarity of the seam under test

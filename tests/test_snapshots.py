@@ -163,6 +163,43 @@ class TestSnapshotRollback:
         assert not os.path.exists(stale)
         assert [g["gen"] for g in list_snapshots(out)] == [1, 2]
 
+    def test_external_checkpoint_root_travels_with_generation(
+            self, spark, tmp_path):
+        """ADVICE r4 #2: an export with --checkpoint_dir outside -o must
+        snapshot AND rollback the external root too; otherwise rollback
+        restores old tiles against newer stage3_assigned and the next
+        append silently diffs against the wrong assignment."""
+        out = str(tmp_path / "out")
+        cp = str(tmp_path / "cp_external")
+        base, batch = _split(spark, 700, 600)
+        run_export(base, OPTS, out, bounds=BB, checkpoint_dir=cp)
+        before_tiles = _tree_files(out)
+        before_cp = _dir_bytes(cp)
+        snap = create_snapshot(out, note="pre", checkpoint_dir=cp)
+        assert snap["gen"] == 1
+
+        incremental_append(batch, out, checkpoint_dir=cp)
+        assert _dir_bytes(cp) != before_cp  # append mutated checkpoints
+
+        rollback(out, 1, checkpoint_dir=cp)
+        assert _tree_files(out) == before_tiles
+        assert _dir_bytes(cp) == before_cp  # checkpoints restored too
+        # and the restored state supports the same append again
+        rep = incremental_append(batch, out, checkpoint_dir=cp)
+        assert rep["n_new_instances"] > 0
+
+    def test_rollback_external_root_mismatch_raises(self, spark, tmp_path):
+        out = str(tmp_path / "out")
+        cp = str(tmp_path / "cp_external")
+        base, _ = _split(spark, 300, 299)
+        run_export(base, OPTS, out, bounds=BB, checkpoint_dir=cp)
+        create_snapshot(out, note="no-cp")  # forgot checkpoint_dir
+        with pytest.raises(ValueError, match="covers no external"):
+            rollback(out, 1, checkpoint_dir=cp)
+        create_snapshot(out, note="with-cp", checkpoint_dir=cp)
+        with pytest.raises(ValueError, match="pass checkpoint_dir"):
+            rollback(out, 2)
+
     def test_rollback_unknown_generation(self, spark, tmp_path):
         out = str(tmp_path / "out")
         base, _ = _split(spark, 300, 299)
@@ -185,6 +222,16 @@ class TestSnapshotRollback:
         rep = main(["--expire_snapshots", "1", "-o", out])
         assert rep["expired"] == [1]
         assert json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+
+
+def _dir_bytes(root):
+    out = {}
+    for r, _d, files in os.walk(root):
+        for fn in files:
+            fp = os.path.join(r, fn)
+            with open(fp, "rb") as f:
+                out[os.path.relpath(fp, root)] = f.read()
+    return out
 
 
 def _walk_all(out_dir):
