@@ -295,6 +295,29 @@ def incremental_append(
             p.removeprefix("file:") for p in meta["preprojected_source"]
         ]
         old_inst = spark.read.parquet(*src).select(*INSTANCE_COLS)
+        # ADVICE r4 #3: run_export guards resumes with StaleCheckpointError,
+        # but this path reads the preprojected source files directly — if
+        # they were mutated or replaced since the export, the dirty diff
+        # would run against data that no longer matches stage3_assigned and
+        # silently write wrong tiles. Re-derive the input fingerprint and
+        # compare with the one pinned in the stage-3 done marker. (Empty
+        # fingerprints — in-memory inputs — disable pinning, same contract
+        # as checkpoint.run_stage.)
+        from .checkpoint import input_fingerprint
+
+        recorded_fp = ""
+        marker = ckpt._done_marker("stage3_assigned")
+        if os.path.exists(marker):
+            with open(marker) as f:
+                recorded_fp = json.load(f).get("input_fingerprint", "") or ""
+        current_fp = input_fingerprint(old_inst)
+        if recorded_fp and current_fp and recorded_fp != current_fp:
+            raise IncrementalRebuildRequired(
+                "preprojected source files changed since the base export "
+                f"(fingerprint {recorded_fp[:12]}.. recorded at export, "
+                f"{current_fp[:12]}.. now): the base assignment no longer "
+                "matches the source — run a full re-export"
+            )
     old_assigned = ckpt.read("stage3_assigned")
 
     # input pinning across the append (VERDICT r3 item 7): the refreshed
@@ -393,17 +416,30 @@ def incremental_append(
         F.format_string(f"%d_%d_%d.{ext}", "level", "x", "y").alias("relpath")
     ).distinct()
     old_manifest = spark.read.parquet(manifest_dir)
-    removed = [
-        r["relpath"]
-        for r in old_manifest.select("relpath")
-        .join(current_files, "relpath", "left_anti")
-        .collect()
-    ]
-    for rel in removed:
-        try:
-            os.remove(os.path.join(content_dir, rel))
-        except FileNotFoundError:
-            pass
+    # deletions run ON THE EXECUTORS over shared storage (VERDICT r4 #8):
+    # a near-rebuild append can remove a large fraction of the corpus's
+    # files, and collecting the relpaths to unlink serially would make the
+    # driver the bottleneck. mapInPandas yields one count per batch — the
+    # driver sees only the tally.
+    removed_df = old_manifest.select("relpath").join(
+        current_files, "relpath", "left_anti"
+    )
+
+    def _unlink_rows(batches):
+        import pandas as _pd
+
+        for pdf in batches:
+            for rel in pdf["relpath"]:
+                try:
+                    os.remove(os.path.join(content_dir, rel))
+                except FileNotFoundError:
+                    pass
+            yield _pd.DataFrame({"n": [len(pdf)]})
+
+    n_removed = int(
+        removed_df.mapInPandas(_unlink_rows, "n long")
+        .agg(F.sum("n")).first()[0] or 0
+    )
 
     # merged manifest: old rows minus removed minus rewritten, plus the
     # incremental rows — then swap into place
@@ -508,7 +544,7 @@ def incremental_append(
         "n_new_instances": new_inst.count(),
         "n_dirty_tiles": n_dirty,
         "n_rewritten_files": n_written,
-        "n_removed_files": len(removed),
+        "n_removed_files": n_removed,
         "n_content_tiles": n_content,
         "n_subtree_files": n_subtree_files,
         "n_dirty_subtrees": affected_roots.count(),

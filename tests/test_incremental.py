@@ -297,6 +297,36 @@ class TestIncrementalGuards:
         assert _tree_files(out_full) == _tree_files(out_incr)
         assert s["n_instances"] == 700
 
+    def test_preprojected_base_mutation_fails_loudly(self, spark, tmp_path):
+        """ADVICE r4 #3: the preprojected path reads the source files
+        directly; if they were replaced since the export, the append must
+        raise instead of diffing against data that no longer matches
+        stage3_assigned."""
+        from i3dm_export_spark.plans.pipeline import stage0_instances
+
+        base, batch, _full = _split(spark, 700, 600)
+        base_path = str(tmp_path / "base_inst")
+        stage0_instances(base).write.parquet(base_path)
+        base_pre = spark.read.parquet(base_path)
+
+        out = str(tmp_path / "incr")
+        run_export(base_pre, OPTS, out, bounds=BB)
+        # mutate the durable source AFTER the export, keeping the recorded
+        # paths valid parquet: clobber one part file with another (content,
+        # size and mtime change; a wholesale path change would already fail
+        # via PATH_NOT_FOUND — this is the silent case the guard is for)
+        import shutil
+
+        parts = sorted(
+            f for f in os.listdir(base_path) if f.endswith(".parquet")
+        )
+        assert len(parts) >= 2, "need two part files to cross-clobber"
+        shutil.copy2(os.path.join(base_path, parts[0]),
+                     os.path.join(base_path, parts[1]))
+        with pytest.raises(IncrementalRebuildRequired,
+                           match="preprojected source files changed"):
+            incremental_append(batch, out)
+
 
 class TestCliAppend:
     def test_cli_append_flag(self, spark, tmp_path):
