@@ -268,6 +268,33 @@ def q_region_revenue(spark, sf_dir):
     )
 
 
+def q_serve_tiles_bbox(spark, sf_dir):
+    """Serving path (plans/serve.tiles_in_bbox, SURVEY §2.9 M4) through a
+    REAL export: build (or resume — run_export skips completed stages) a
+    small export of the documents instances under /tmp, then answer the
+    bbox from its sink manifest + broadcast closed-form ranges. The oracle
+    recomputes the content tiles intersecting the same bbox straight from
+    the decision-table tree SQL."""
+    import hashlib
+    import os
+    import tempfile
+
+    from i3dm_export_spark.plans.pipeline import run_export
+    from i3dm_export_spark.plans.serve import tiles_in_bbox
+
+    inst = _instances(spark, sf_dir).withColumn(
+        "url", F.concat(F.lit("d"), F.col("doc_id"))
+    )
+    key = hashlib.sha1(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    out = os.path.join(tempfile.gettempdir(), f"i3dm_serve_gate_{key}")
+    opts = ExportOptions(max_features_per_tile=50, max_level=6,
+                         use_i3dm=True)
+    run_export(inst, opts, out, bounds=_BOUNDS)
+    return tiles_in_bbox(spark, out, oracles.SERVE_BBOX).select(
+        "level", "x", "y"
+    )
+
+
 def q_events_topk_window(spark, sf_dir):
     return _shared_sql(spark, sf_dir, ("events",), oracles.q_events_topk_window())
 
@@ -785,7 +812,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r3 swap: orders_topk_join retired (join+topk shape also covered
         # by region_revenue + events_topk_window) in favor of bm25_rank
         "bm25_rank": q_bm25_rank,
-        "region_revenue": q_region_revenue,
+        # r5 swap (50-row cap): region_revenue retired from the GATE (its
+        # multi-join agg shape stays covered by source_stats + lineitem_
+        # pricing + customers_without_orders; the function remains a bench
+        # leg) in favor of the serving-path row serve_tiles_bbox
+        "serve_tiles_bbox": q_serve_tiles_bbox,
         "events_topk_window": q_events_topk_window,
         "customers_without_orders": q_customers_without_orders,
         # r3 swap: pricing_rollup retired (strict subset of the
@@ -838,7 +869,7 @@ def oracle_sql() -> dict[str, str]:
         "term_freq_topk": oracles.q_term_freq_topk(50),
         "lineitem_pricing": oracles.q_lineitem_pricing(),
         "bm25_rank": _ranking.bm25_oracle_sql(BM25_TERMS),
-        "region_revenue": oracles.q_region_revenue(),
+        "serve_tiles_bbox": oracles.q_serve_tiles_bbox(50, 6),
         "events_topk_window": oracles.q_events_topk_window(),
         "customers_without_orders": oracles.q_customers_without_orders(),
         "source_stats": _ranking.SOURCE_STATS_ORACLE_SQL,

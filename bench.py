@@ -241,7 +241,7 @@ def main() -> None:
         "dedup_exact", "minhash_sigs", "lsh_pairs", "simhash",
         "cosine_topk", "ann_exact_parity", "text_quality", "text_langid",
         "events_hourly", "cluster_kmeans",
-        "media_metadata", "region_revenue", "events_topk_window",
+        "media_metadata", "events_topk_window",
     ):
         dt, n = best_of(lambda: qs[name](spark, SF_DIR).count())
         timings[name] = round(dt, 3)

@@ -762,6 +762,47 @@ def q_image_features(dim: int = 16) -> str:
 # them from Spark, checked by running the SAME SQL text in both engines)
 # ---------------------------------------------------------------------------
 
+#: fixed serving-path probe bbox (inside DOCS_BBOX), shared with the Spark
+#: side of the serve_tiles_bbox gate row
+SERVE_BBOX = (34.02, 44.03, 34.06, 44.07)
+
+
+def q_serve_tiles_bbox(max_features: int = 50, max_level: int = 6,
+                       bounds=DOCS_BBOX, bbox=SERVE_BBOX) -> str:
+    """Oracle for the serving path (plans/serve.tiles_in_bbox): the content
+    tiles of the decision-table tree whose cell rectangle intersects
+    ``bbox``. The per-level inclusive index ranges are recomputed here with
+    independent floor/clamp arithmetic (the same convention as the tiling
+    kernel: bbox corners map through the point kernel, edges clamp) and
+    inlined as constants — the engine side instead parses tile keys out of
+    a real export's sink-manifest relpaths and broadcast-joins its own
+    closed-form range table."""
+    import math
+
+    xmin, ymin, xmax, ymax = (float(v) for v in bounds[:4])
+    qx0, qy0, qx1, qy1 = (float(v) for v in bbox)
+
+    def _idx(v: float, lo: float, hi: float, n: int) -> int:
+        return min(max(math.floor((v - lo) / (hi - lo) * n), 0), n - 1)
+
+    clauses = []
+    for lvl in range(max_level + 1):
+        n = 1 << lvl
+        x0, x1 = _idx(qx0, xmin, xmax, n), _idx(qx1, xmin, xmax, n)
+        y0, y1 = _idx(qy0, ymin, ymax, n), _idx(qy1, ymin, ymax, n)
+        clauses.append(
+            f"(level = {lvl} AND x BETWEEN {x0} AND {x1} "
+            f"AND y BETWEEN {y0} AND {y1})"
+        )
+    where = " OR ".join(clauses)
+    return (
+        f"{tree_ctes(max_features, max_level)},\n"
+        f"content AS ({tree_select(max_features, max_level)})\n"
+        f"SELECT level, x, y FROM content "
+        f"WHERE content_available AND ({where})"
+    )
+
+
 def q_region_revenue() -> str:
     """TPC-H-Q5-shaped 6-table join: revenue per region/nation where the
     customer and supplier share a nation. Decimal-exact sum."""

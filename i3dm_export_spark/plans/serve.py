@@ -34,9 +34,23 @@ import os
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 
+class ServingStateMissing(RuntimeError):
+    """The artifact a serving query answers from (export meta, sink
+    manifest, or the stage-3 checkpoint) is absent — e.g. the checkpoints
+    were vacuumed with ``keep_stages=()`` or the export never completed.
+    Serving queries never rebuild state; re-run the export (or point at
+    the right --checkpoint_dir) instead."""
+
+
 def _load_meta(out_dir: str, checkpoint_dir: str | None) -> dict:
     root = checkpoint_dir or os.path.join(out_dir, "_checkpoints")
-    with open(os.path.join(root, "_export_meta.json")) as f:
+    path = os.path.join(root, "_export_meta.json")
+    if not os.path.exists(path):
+        raise ServingStateMissing(
+            f"no _export_meta.json under {root}: not a completed export "
+            "root (or pass the export's checkpoint_dir)"
+        )
+    with open(path) as f:
         return json.load(f)
 
 
@@ -64,16 +78,24 @@ def tiles_in_bbox(
     out_dir: str,
     bbox,
     checkpoint_dir: str | None = None,
+    level: int | None = None,
 ) -> DataFrame:
     """(level, x, y, relpath, n_bytes) of every content tile whose cell
-    rectangle intersects ``bbox`` (minlon, minlat, maxlon, maxlat)."""
+    rectangle intersects ``bbox`` (minlon, minlat, maxlon, maxlat).
+    ``level`` restricts the answer to one quadtree level (a tiles client
+    asks per-LOD; the filter also prunes the broadcast range table)."""
     meta = _load_meta(out_dir, checkpoint_dir)
     bounds = meta["bounds"]
     max_level = int(meta["opts"]["max_level"])
     root = checkpoint_dir or os.path.join(out_dir, "_checkpoints")
-    manifest = spark.read.parquet(
-        os.path.join(root, "_sink_manifests", "content")
-    )
+    manifest_dir = os.path.join(root, "_sink_manifests", "content")
+    if not os.path.isdir(manifest_dir):
+        raise ServingStateMissing(
+            f"no content sink manifest under {manifest_dir}: the export "
+            "ran with write_content=False, or its manifests were removed — "
+            "tiles_in_bbox answers from manifests only"
+        )
+    manifest = spark.read.parquet(manifest_dir)
     tiles = manifest.select(
         F.regexp_extract("relpath", r"^(\d+)_(\d+)_(\d+)\.", 1)
         .cast("int").alias("level"),
@@ -83,9 +105,12 @@ def tiles_in_bbox(
         .cast("bigint").alias("y"),
         "relpath", "n_bytes",
     )
+    levels = (
+        range(max_level + 1) if level is None
+        else range(max(level, 0), min(level, max_level) + 1)
+    )
     ranges = spark.createDataFrame(
-        [(lv, *bbox_tile_range(bounds, bbox, lv))
-         for lv in range(max_level + 1)],
+        [(lv, *bbox_tile_range(bounds, bbox, lv)) for lv in levels],
         "level int, x0 bigint, x1 bigint, y0 bigint, y1 bigint",
     )
     return (
@@ -104,9 +129,21 @@ def instances_in_bbox(
 ) -> DataFrame:
     """Instances inside ``bbox`` from the stage-3 assignment checkpoint.
     Pure parquet filter — lon/lat predicates push to row-group stats that
-    the Morton-ordered write made spatially coherent."""
+    the Morton-ordered write made spatially coherent.
+
+    Hard-depends on the ``stage3_assigned`` checkpoint: if it was vacuumed
+    or never completed, this raises :class:`ServingStateMissing` (VERDICT
+    r4 #7) — serving queries never recompute assignments."""
     root = checkpoint_dir or os.path.join(out_dir, "_checkpoints")
-    assigned = spark.read.parquet(os.path.join(root, "stage3_assigned"))
+    stage3 = os.path.join(root, "stage3_assigned")
+    if not os.path.isdir(stage3):
+        raise ServingStateMissing(
+            f"stage3_assigned checkpoint missing under {root} (vacuumed, "
+            "or the export never completed): instances_in_bbox answers "
+            "from the assignment checkpoint only — re-run the export or "
+            "pass the correct checkpoint_dir"
+        )
+    assigned = spark.read.parquet(stage3)
     qx0, qy0, qx1, qy1 = (float(v) for v in bbox)
     return (
         assigned

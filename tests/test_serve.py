@@ -120,3 +120,46 @@ class TestServe:
             == rep["n_tiles"]
         with pytest.raises(SystemExit, match="query_bbox"):
             main(["--query_bbox", "1,2,3", "-o", export_dir], spark=spark)
+
+
+class TestServeRobustness:
+    def test_missing_stage3_raises_clear_error(self, spark, export_dir,
+                                               tmp_path):
+        """VERDICT r4 #7: instances_in_bbox hard-depends on the
+        stage3_assigned checkpoint; a vacuumed/missing checkpoint must be
+        a clear ServingStateMissing, not a PATH_NOT_FOUND stack."""
+        import shutil
+
+        from i3dm_export_spark.plans.serve import ServingStateMissing
+
+        clone = str(tmp_path / "clone")
+        shutil.copytree(export_dir, clone)
+        shutil.rmtree(os.path.join(clone, "_checkpoints", "stage3_assigned"))
+        with pytest.raises(ServingStateMissing, match="stage3_assigned"):
+            instances_in_bbox(spark, clone, QBOX).count()
+        # tiles_in_bbox still answers (manifests survive)
+        assert tiles_in_bbox(spark, clone, QBOX).count() > 0
+
+    def test_missing_meta_raises_clear_error(self, spark, tmp_path):
+        from i3dm_export_spark.plans.serve import ServingStateMissing
+
+        with pytest.raises(ServingStateMissing, match="_export_meta"):
+            tiles_in_bbox(spark, str(tmp_path), QBOX).count()
+
+    def test_level_filter(self, spark, export_dir):
+        """Per-LOD serving: level=k returns exactly the level-k slice of
+        the unfiltered answer."""
+        full = tiles_in_bbox(spark, export_dir, QBOX).collect()
+        by_level = {}
+        for r in full:
+            by_level.setdefault(r["level"], set()).add((r["x"], r["y"]))
+        assert len(by_level) > 1, "need multiple levels for a real test"
+        for lvl, want in by_level.items():
+            got = {
+                (r["x"], r["y"])
+                for r in tiles_in_bbox(spark, export_dir, QBOX,
+                                       level=lvl).collect()
+            }
+            assert got == want
+        # a level with no tiles answers empty, not an error
+        assert tiles_in_bbox(spark, export_dir, QBOX, level=0).count() in (0, 1)
