@@ -36,6 +36,14 @@ TRIALS = max(1, int(os.environ.get("BENCH_TRIALS", 3)))
 # `quiet_wait_s`; a still-noisy start shows in `loadavg_start` as before.
 QUIET_WAIT_S = float(os.environ.get("BENCH_QUIET_WAIT_S", 240))
 QUIET_LOAD = float(os.environ.get("BENCH_QUIET_LOAD", 2.0))
+# Per-leg load audit (VERDICT r4 item 2): a leg whose best trial ran inside
+# a co-tenant burst (1-min load above this at either window edge) is re-run
+# after a short quiet wait, bounded by BENCH_LEG_RETRIES extra trials — so
+# the recorded artifact carries clean numbers (or an audit trail proving no
+# clean window existed) instead of unexplained regressions.
+POLLUTED_LOAD = float(os.environ.get("BENCH_POLLUTED_LOAD", 4.0))
+LEG_RETRIES = max(0, int(os.environ.get("BENCH_LEG_RETRIES", 2)))
+LEG_AUDIT: dict[str, dict] = {}
 
 
 def _loadavg() -> float:
@@ -46,10 +54,10 @@ def _loadavg() -> float:
         return -1.0
 
 
-def wait_quiet() -> float:
-    """Block until load < QUIET_LOAD or QUIET_WAIT_S elapses; return wait."""
+def wait_quiet(budget: float = QUIET_WAIT_S) -> float:
+    """Block until load < QUIET_LOAD or ``budget`` s elapse; return wait."""
     t0 = time.perf_counter()
-    while time.perf_counter() - t0 < QUIET_WAIT_S:
+    while time.perf_counter() - t0 < budget:
         la = _loadavg()
         if la < 0 or la < QUIET_LOAD:
             break
@@ -57,14 +65,37 @@ def wait_quiet() -> float:
     return round(time.perf_counter() - t0, 1)
 
 
-def best_of(fn, trials: int = TRIALS) -> tuple[float, object]:
-    """(min wall seconds, last result) over ``trials`` executions."""
+def best_of(fn, trials: int = TRIALS, name: str | None = None) -> tuple[float, object]:
+    """(min wall seconds, last result) over ``trials`` executions.
+
+    Every trial's window load (max of loadavg at start/end) is sampled; if
+    the best trial's window was polluted (> POLLUTED_LOAD), the leg re-runs
+    after a short quiet wait, up to LEG_RETRIES extra trials. The audit —
+    best-window load + retry count — lands in the summary's ``leg_audit``
+    when ``name`` is given."""
     best = float("inf")
+    best_load = float("inf")
     res = None
-    for _ in range(trials):
+
+    def run_once():
+        nonlocal best, best_load, res
+        la0 = _loadavg()
         t0 = time.perf_counter()
         res = fn()
-        best = min(best, time.perf_counter() - t0)
+        wall = time.perf_counter() - t0
+        window = max(la0, _loadavg())
+        if wall < best:
+            best, best_load = wall, window
+
+    for _ in range(trials):
+        run_once()
+    retries = 0
+    while best_load > POLLUTED_LOAD and retries < LEG_RETRIES:
+        wait_quiet(60)
+        retries += 1
+        run_once()
+    if name is not None:
+        LEG_AUDIT[name] = {"load": round(best_load, 2), "retries": retries}
     return best, res
 
 
@@ -124,7 +155,7 @@ def main() -> None:
         # round-trip; byte-identical to the stage1-precomputed path)
         return bounds, encode_tiles(assigned, opts).count()
 
-    dt, (bounds, n_tiles) = best_of(_i3dm_leg)
+    dt, (bounds, n_tiles) = best_of(_i3dm_leg, name="export_pipeline")
     timings["export_pipeline"] = round(dt, 3)
     extras["export_instances"] = n_instances
     extras["export_content_tiles"] = n_tiles
@@ -142,7 +173,7 @@ def main() -> None:
             tiling.assign_to_content_tiles(pages, gpu_tree, gpu_opts), gpu_opts
         ).count()
 
-    dt, gpu_tiles = best_of(_gpu_leg)
+    dt, gpu_tiles = best_of(_gpu_leg, name="export_pipeline_gpu")
     timings["export_pipeline_gpu"] = round(dt, 3)
     extras["gpu_instances_per_sec"] = round(n_instances / dt, 1)
     extras["gpu_content_tiles"] = gpu_tiles
@@ -190,8 +221,14 @@ def main() -> None:
 
     best_e2e = best_app = best_serve = float("inf")
     best_pair_speedup = 0.0
+    pair_load = float("inf")
+    pair_retries = 0
     summary = app = served = None
-    for _ in range(TRIALS):
+
+    def _pair_trial():
+        nonlocal best_e2e, best_app, best_serve, best_pair_speedup
+        nonlocal pair_load, summary, app, served
+        la0 = _loadavg()
         e2e_dir = tempfile.mkdtemp(prefix="bench_e2e_")
         t0 = time.perf_counter()
         summary = run_export(
@@ -201,11 +238,9 @@ def main() -> None:
             subtree_levels=2,
         )
         e2e_i = time.perf_counter() - t0
-        best_e2e = min(best_e2e, e2e_i)
         t0 = time.perf_counter()
         app = incremental_append(batch, e2e_dir)
         app_i = time.perf_counter() - t0
-        best_app = min(best_app, app_i)
         # append-vs-full is only meaningful within ONE trial (both legs in
         # the same co-tenant window); cross-trial mins mismatch windows
         best_pair_speedup = max(best_pair_speedup, e2e_i / max(app_i, 1e-9))
@@ -215,8 +250,25 @@ def main() -> None:
         served = query_bbox_summary(
             spark, e2e_dir, (34.04, 44.04, 34.06, 44.06), max_listed=10
         )
-        best_serve = min(best_serve, time.perf_counter() - t0)
+        serve_i = time.perf_counter() - t0
         shutil.rmtree(e2e_dir, ignore_errors=True)
+        window = max(la0, _loadavg())
+        if min(e2e_i - best_e2e, app_i - best_app, serve_i - best_serve) < 0:
+            pair_load = window  # window behind at least one recorded best
+        best_e2e = min(best_e2e, e2e_i)
+        best_app = min(best_app, app_i)
+        best_serve = min(best_serve, serve_i)
+
+    for _ in range(TRIALS):
+        _pair_trial()
+    while pair_load > POLLUTED_LOAD and pair_retries < LEG_RETRIES:
+        wait_quiet(60)
+        pair_retries += 1
+        _pair_trial()
+    for leg in ("export_e2e_sinks", "incremental_append_1pct",
+                "serve_query_bbox"):
+        LEG_AUDIT[leg] = {"load": round(pair_load, 2),
+                          "retries": pair_retries}
 
     timings["export_e2e_sinks"] = round(best_e2e, 3)
     extras["e2e_instances_per_sec"] = round(n_instances / best_e2e, 1)
@@ -229,6 +281,11 @@ def main() -> None:
     extras["append_dirty_subtrees"] = app["n_dirty_subtrees"]
     extras["append_speedup_vs_full"] = round(best_pair_speedup, 2)
     extras["append_phase_walls"] = app.get("phase_walls", {})
+    extras["append_delta_path"] = app.get("delta_path", False)
+    extras["append_stage3_linked_files"] = app.get("n_stage3_linked_files", 0)
+    extras["append_stage3_rewritten_files"] = app.get(
+        "n_stage3_rewritten_files", -1
+    )
     timings["serve_query_bbox"] = round(best_serve, 3)
     extras["serve_tiles"] = served["n_tiles"]
     extras["serve_instances"] = served["n_instances"]
@@ -243,7 +300,7 @@ def main() -> None:
         "events_hourly", "cluster_kmeans",
         "media_metadata", "events_topk_window",
     ):
-        dt, n = best_of(lambda: qs[name](spark, SF_DIR).count())
+        dt, n = best_of(lambda: qs[name](spark, SF_DIR).count(), name=name)
         timings[name] = round(dt, 3)
         extras[f"rows_{name}"] = n
 
@@ -262,7 +319,8 @@ def main() -> None:
     hyperplane_signature(emb, 768, 16).select("lsh_sig").count()  # warm
     dt, n = best_of(
         lambda: hyperplane_signature(emb, 768, 16)
-        .select("lsh_sig").distinct().count()
+        .select("lsh_sig").distinct().count(),
+        name="lsh_sig_dim768",
     )
     timings["lsh_sig_dim768"] = round(dt, 3)
     extras["rows_lsh_sig_dim768"] = n
@@ -270,22 +328,27 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     extras["bench_trials"] = TRIALS
+    extras["leg_audit"] = LEG_AUDIT
     extras["loadavg_end"] = _loadavg()
     sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
     shutil.rmtree(stage_dir, ignore_errors=True)
-    print(
-        json.dumps(
-            {
-                "metric": "tiling_export_and_operator_suite",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf else None,
-                "cpus": CPUS,
-                **extras,
-            }
-        )
-    )
+    payload = {
+        "metric": "tiling_export_and_operator_suite",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf else None,
+        "cpus": CPUS,
+        **extras,
+    }
+    line = json.dumps(payload)
+    # the machine-readable record survives stdout truncation (VERDICT r4
+    # item 3: the driver's tail capture clipped the r4 line's head)
+    out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "BENCH_LAST.json")
+    with open(out_path, "w") as f:
+        f.write(line + "\n")
+    print(line)
     spark.stop()
 
 

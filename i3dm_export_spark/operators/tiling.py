@@ -57,6 +57,16 @@ class TileTree:
     deep_level: int           # level of the instance cell keys used
     bounds: Bounds
     max_content_level: int    # deepest level holding content
+    #: the MATERIALIZED deep-cell counts (cell_x, cell_y, cnt) the build
+    #: consumed — persisting them beside the tile table makes the next
+    #: incremental append's tree a counts MERGE (O(cells)) instead of a
+    #: fresh corpus groupBy (O(instances)); see plans/incremental.
+    deep_counts_df: DataFrame | None = None
+    #: driver-resident pandas copy of ``tiles`` when the build took the
+    #: driver fast path — lets consumers (assignment, tile diffs) derive
+    #: content levels / counts without extra Spark jobs. None on the
+    #: distributed path (cells > driver threshold).
+    tiles_pdf: object | None = None
 
 
 def deep_counts(df: DataFrame, bounds: Bounds, deep_level: int, query: str = "") -> DataFrame:
@@ -218,41 +228,77 @@ def _build_tile_tree_at(
     instances: DataFrame, bounds: Bounds, opts: ExportOptions, deep_level: int,
     driver_threshold: int = 4_000_000,
 ) -> TileTree:
-    spark = instances.sparkSession
+    deep_df = deep_counts(instances, bounds, deep_level, opts.query)
+    return tree_from_counts(deep_df, bounds, opts, deep_level,
+                            driver_threshold=driver_threshold)
+
+
+def tree_from_counts(
+    deep_df: DataFrame, bounds: Bounds, opts: ExportOptions, deep_level: int,
+    driver_threshold: int = 4_000_000,
+    n_cells_hint: int | None = None,
+) -> TileTree:
+    """T2 descent over an already-computed deep-cell count table
+    (``cell_x, cell_y, cnt`` at ``deep_level``). This is the whole stage-2
+    compute once counts exist — the incremental append path merges a
+    batch's counts into the persisted base counts and calls this, paying
+    O(cells) instead of an O(instances) groupBy. Same decision table, same
+    driver-fast-path/distributed twin split as the instance path (the
+    driver twin is parity-tested in tests/test_tiling.py).
+
+    ``n_cells_hint``: a known UPPER BOUND on the cell count (e.g. base
+    checkpoint rows + batch rows) — skips the count() job when it already
+    proves the driver fast path applies."""
+    spark = deep_df.sparkSession
 
     floor_level = min(opts.max_level, deep_level)
-    deep_df = deep_counts(instances, bounds, deep_level, opts.query)
-    n_cells = deep_df.count()
+    n_cells = n_cells_hint if n_cells_hint is not None else deep_df.count()
     if n_cells <= driver_threshold:
         # fast path: ONE Spark job (the groupBy); descent on the driver
         pdf = deep_df.toPandas()
-        tiles_pdf = descend_counts_pandas(
-            pdf["cell_x"], pdf["cell_y"], pdf["cnt"], deep_level,
-            opts.max_features_per_tile, opts.use_clustering, floor_level,
-        )
-        tiles = spark.createDataFrame(
-            tiles_pdf,
-            schema="level int, x bigint, y bigint, available boolean, "
-                   "content_available boolean, n_instances bigint",
-        ).persist()
-        max_content_level = int(
-            tiles_pdf.loc[tiles_pdf.content_available, "level"].max()
-        ) if tiles_pdf.content_available.any() else 0
-        return TileTree(tiles=tiles, deep_level=deep_level, bounds=bounds,
-                        max_content_level=max_content_level)
-    return _build_tile_tree_distributed(instances, bounds, opts, deep_level)
+        return tree_from_counts_pandas(spark, pdf, bounds, opts, deep_level)
+    return _descend_distributed(deep_df, bounds, opts, deep_level)
 
 
-def _build_tile_tree_distributed(
-    instances: DataFrame, bounds: Bounds, opts: ExportOptions, deep_level: int
+def tree_from_counts_pandas(
+    spark, pdf, bounds: Bounds, opts: ExportOptions, deep_level: int,
 ) -> TileTree:
-    spark = instances.sparkSession
+    """Driver-side twin of :func:`tree_from_counts` over a pandas counts
+    frame (columns cell_x, cell_y, cnt) — zero Spark jobs beyond the
+    createDataFrames; used by the append's delta path where the merged
+    counts are already on the driver."""
+    floor_level = min(opts.max_level, deep_level)
+    tiles_pdf = descend_counts_pandas(
+        pdf["cell_x"], pdf["cell_y"], pdf["cnt"], deep_level,
+        opts.max_features_per_tile, opts.use_clustering, floor_level,
+    )
+    tiles = spark.createDataFrame(
+        tiles_pdf,
+        schema="level int, x bigint, y bigint, available boolean, "
+               "content_available boolean, n_instances bigint",
+    ).persist()
+    max_content_level = int(
+        tiles_pdf.loc[tiles_pdf.content_available, "level"].max()
+    ) if tiles_pdf.content_available.any() else 0
+    counts_df = spark.createDataFrame(
+        pdf, schema="cell_x bigint, cell_y bigint, cnt bigint"
+    )
+    return TileTree(tiles=tiles, deep_level=deep_level, bounds=bounds,
+                    max_content_level=max_content_level,
+                    deep_counts_df=counts_df, tiles_pdf=tiles_pdf)
 
-    # ONE shuffle over instances; localCheckpoint cuts the lineage so the
-    # iterative per-level plans below stay O(1) for the optimizer (without
-    # this, each level's plan nests all previous levels and Catalyst
-    # re-optimization blows up exponentially with depth).
-    deep = deep_counts(instances, bounds, deep_level, opts.query).localCheckpoint()
+
+def _descend_distributed(
+    deep_df: DataFrame, bounds: Bounds, opts: ExportOptions, deep_level: int
+) -> TileTree:
+    spark = deep_df.sparkSession
+
+    # ONE shuffle over instances (already inside deep_df's lineage);
+    # localCheckpoint cuts the lineage so the iterative per-level plans
+    # below stay O(1) for the optimizer (without this, each level's plan
+    # nests all previous levels and Catalyst re-optimization blows up
+    # exponentially with depth).
+    deep = deep_df.localCheckpoint()
 
     # roll up counts level by level: counts[L] for L = deep_level .. 0
     # (each a tiny cells-not-instances aggregation, materialized eagerly)
@@ -320,7 +366,7 @@ def _build_tile_tree_distributed(
         tiles.filter("content_available").agg(F.max("level")).collect()[0][0] or 0
     )
     return TileTree(tiles=tiles, deep_level=deep_level, bounds=bounds,
-                    max_content_level=max_content_level)
+                    max_content_level=max_content_level, deep_counts_df=deep)
 
 
 def assign_to_content_tiles(
@@ -342,15 +388,33 @@ def assign_to_content_tiles(
     if opts.query:
         instances = instances.filter(F.expr(opts.query))
 
-    content = tree.tiles.filter("content_available").select("level", "x", "y")
-    levels = sorted(
-        r["level"] for r in content.select("level").distinct().collect()
-    )
-    if not levels:
-        return instances.sparkSession.createDataFrame([], schema="level int")
+    spark = instances.sparkSession
+    if tree.tiles_pdf is not None:
+        # driver-resident tree: derive levels / count / the broadcast side
+        # without any Spark job (the append's delta path calls this with a
+        # tiny reassignment set — collect-jobs would dominate its wall)
+        cpdf = tree.tiles_pdf.loc[
+            tree.tiles_pdf.content_available, ["level", "x", "y"]
+        ]
+        levels = sorted(int(v) for v in cpdf["level"].unique())
+        if not levels:
+            return spark.createDataFrame([], schema="level int")
+        n_content = len(cpdf)
+        content = spark.createDataFrame(
+            cpdf, schema="level int, x bigint, y bigint"
+        )
+    else:
+        content = tree.tiles.filter("content_available").select(
+            "level", "x", "y"
+        )
+        levels = sorted(
+            r["level"] for r in content.select("level").distinct().collect()
+        )
+        if not levels:
+            return spark.createDataFrame([], schema="level int")
+        n_content = content.count()
     # broadcast only while the tile table is small; at 10^12-instance scale
     # (~10^9 content tiles) fall back to a shuffle join and let AQE plan it
-    n_content = content.count()
     content_side = F.broadcast(content) if n_content <= 2_000_000 else content
 
     inst = with_cell_keys(instances, tree.bounds, tree.deep_level)

@@ -344,15 +344,9 @@ def incremental_append(
         )
 
     _mark("guards")
-    union_inst = old_inst.unionByName(new_inst.select(*old_inst.columns))
 
-    # materialize the refreshed stage-0 FIRST (ONE pass over base ∪
-    # batch): every later consumer — tree build, assignment, key diff,
-    # dirty re-encode, manifest reconciliation, checkpoint swap — reads
-    # the durable parquet instead of re-evaluating the union lineage.
-    # (The r3 shape kept new_assigned lazy, so each consuming action
-    # recomputed the whole union tree + assignment: 4-5 corpus passes
-    # that made a 1% append SLOWER than a full re-export at bench scale.)
+    # materialize the refreshed stage-0 FIRST: every later consumer reads
+    # durable parquet instead of re-evaluating lazy union lineage.
     # stage-0 is purely ADDITIVE under the append-only url contract: when
     # the base checkpoint exists as parquet, hard-link its data files into
     # the tmp and write only the batch beside them — O(batch) bytes
@@ -361,35 +355,97 @@ def incremental_append(
     if ckpt.is_complete("stage0_instances") and ckpt.fmt == "parquet":
         tmp0 = _stage0_additive_tmp(ckpt, new_inst.select(*old_inst.columns))
     else:
+        union_inst = old_inst.unionByName(new_inst.select(*old_inst.columns))
         tmp0 = _stage_to_tmp(ckpt, "stage0_instances", union_inst)
-    union = spark.read.format(ckpt.fmt).load(tmp0)
     _mark("stage0_materialize")
 
-    # 1-2: tree + assignment over the union (linear), then the key diff;
-    # both materialized into their checkpoint tmps immediately
-    tree = tiling.build_tile_tree(union, bounds, opts)
-    new_assigned = tiling.assign_to_content_tiles(union, tree, opts)
+    # 1-2: tree + assignment refresh. DELTA path (VERDICT r4 #1): merge the
+    # batch's deep-cell counts into the persisted base counts (O(cells)),
+    # re-descend, reassign ONLY the batch plus rows covered by flipped
+    # content tiles, and refresh stage-3 by hard-linking every file the
+    # dirty region provably does not touch (parquet footer box stats).
+    # Falls back to the legacy full union rebuild when preconditions fail
+    # (pre-r5 base export, non-parquet checkpoints, counts overflow that
+    # would deepen the tree, near-rebuild-sized flipped set).
     n_part = max(int(spark.conf.get("spark.sql.shuffle.partitions")), 1)
-    tmp3 = _stage_to_tmp(
-        ckpt, "stage3_assigned",
-        new_assigned.repartitionByRange(n_part, *TILE_KEY),
-    )
-    new_assigned = spark.read.format(ckpt.fmt).load(tmp3)
-    tmp2 = _stage_to_tmp(ckpt, "stage2_tiles", tree.tiles)
-    tiles = spark.read.format(ckpt.fmt).load(tmp2)
-    _mark("tree_and_assignment")
+    delta = _delta_refresh(spark, ckpt, new_inst, list(old_inst.columns),
+                           bounds, opts, n_part)
+    tmp_counts = None
+    if delta is not None:
+        tree = delta["tree"]
+        tiles = delta["tiles"]
+        tmp2, tmp3 = delta["tmp2"], delta["tmp3"]
+        tmp_counts = delta["tmp_counts"]
+        new_assigned = spark.read.format(ckpt.fmt).load(tmp3)
+        _mark("tree_and_assignment")
+        dirty = delta["dirty"]
+        n_dirty = len(delta["dirty_keys"])  # already collected — no job
+        _mark("dirty_diff")
+    else:
+        union = spark.read.format(ckpt.fmt).load(tmp0)
+        tree = tiling.build_tile_tree(union, bounds, opts)
+        new_assigned = tiling.assign_to_content_tiles(union, tree, opts)
+        tmp3 = _stage_to_tmp(
+            ckpt, "stage3_assigned",
+            new_assigned.repartitionByRange(n_part, *TILE_KEY),
+        )
+        new_assigned = spark.read.format(ckpt.fmt).load(tmp3)
+        tmp2 = _stage_to_tmp(ckpt, "stage2_tiles", tree.tiles)
+        tiles = spark.read.format(ckpt.fmt).load(tmp2)
+        if tree.deep_counts_df is not None:
+            # upgrade the base in passing: the NEXT append goes delta
+            tmp_counts = _stage_to_tmp(
+                ckpt, "stage2_cellcounts",
+                tree.deep_counts_df.withColumn(
+                    "deep_level", F.lit(tree.deep_level).cast("int")
+                ),
+            )
+        _mark("tree_and_assignment")
 
-    dirty = dirty_tiles(old_assigned, new_assigned).localCheckpoint()
-    n_dirty = dirty.count()
-    _mark("dirty_diff")
+        dirty = dirty_tiles(old_assigned, new_assigned).localCheckpoint()
+        n_dirty = dirty.count()
+        _mark("dirty_diff")
 
     content_dir = os.path.join(output_dir, "content")
     subtrees_dir = os.path.join(output_dir, "subtrees")
     ext = opts.content_extension
     manifest_dir = os.path.join(ckpt_root, "_sink_manifests", "content")
 
-    # 3: re-encode only dirty tiles' members
-    members = new_assigned.join(F.broadcast(dirty), TILE_KEY, "left_semi")
+    # 3: re-encode only dirty tiles' members. A per-level bounding-box
+    # prefilter (tiny collect over the dirty KEYS, never instances) is
+    # pushed into the parquet scan so footer stats skip the hard-linked
+    # clean files entirely — the member fetch reads O(dirty region), the
+    # exact analogue of the reference's GIST-indexed per-tile queries
+    # (src/InstancesRepository.cs:32-38).
+    members_src = new_assigned
+    if delta is not None:
+        by_level: dict[int, list[tuple[int, int]]] = {}
+        for (lv, dx, dy) in delta["dirty_keys"]:
+            by_level.setdefault(lv, []).append((dx, dy))
+        boxes = [
+            (lv, min(x for x, _ in ks), max(x for x, _ in ks),
+             min(y for _, y in ks), max(y for _, y in ks))
+            for lv, ks in by_level.items()
+        ]
+    else:
+        boxes = [
+            (int(b["level"]), int(b["x0"]), int(b["x1"]),
+             int(b["y0"]), int(b["y1"]))
+            for b in dirty.groupBy("level").agg(
+                F.min("x").alias("x0"), F.max("x").alias("x1"),
+                F.min("y").alias("y0"), F.max("y").alias("y1"),
+            ).collect()
+        ]
+    if boxes:
+        pred = F.lit(False)
+        for lv, x0, x1, y0, y1 in boxes:
+            pred = pred | (
+                (F.col("level") == lv)
+                & F.col("x").between(x0, x1)
+                & F.col("y").between(y0, y1)
+            )
+        members_src = new_assigned.filter(pred)
+    members = members_src.join(F.broadcast(dirty), TILE_KEY, "left_semi")
     if opts.use_clustering:
         members = cluster_tiles_salted(members, opts)
     prepared_models = None
@@ -411,10 +467,13 @@ def incremental_append(
 
     # removals: previously-written content files whose tile is gone or was
     # re-encoded under a different key set. Old manifest rows minus (still
-    # current content tiles) minus (rows just rewritten).
-    current_files = new_assigned.select(
+    # current content tiles) minus (rows just rewritten). Current keys come
+    # from the TREE (every content tile has members by the decision table:
+    # content_available requires cnt > 0), so this is O(tiles), never a
+    # corpus-wide distinct.
+    current_files = tiles.filter("content_available").select(
         F.format_string(f"%d_%d_%d.{ext}", "level", "x", "y").alias("relpath")
-    ).distinct()
+    )
     old_manifest = spark.read.parquet(manifest_dir)
     # deletions run ON THE EXECUTORS over shared storage (VERDICT r4 #8):
     # a near-rebuild append can remove a large fraction of the corpus's
@@ -525,6 +584,8 @@ def incremental_append(
         "stage3_assigned": tmp3,
         "stage2_tiles": tmp2,
     }
+    if tmp_counts is not None:
+        tmps["stage2_cellcounts"] = tmp_counts
     for stage, tmp in tmps.items():
         _swap_in(ckpt, stage, tmp, input_fingerprint=append_fp)
     for stale in ("stage4_payloads", "stage4_reduced", "stage5_subtrees",
@@ -549,6 +610,13 @@ def incremental_append(
         "n_subtree_files": n_subtree_files,
         "n_dirty_subtrees": affected_roots.count(),
         "available_levels": avail_levels,
+        "delta_path": delta is not None,
+        "n_stage3_linked_files": (
+            delta["n_linked_files"] if delta is not None else 0
+        ),
+        "n_stage3_rewritten_files": (
+            delta["n_rewritten_source_files"] if delta is not None else -1
+        ),
     }
 
 
@@ -582,6 +650,312 @@ def _chained_fingerprint(
     return hashlib.sha256(
         f"append|{base_fp}|{batch_fp}".encode()
     ).hexdigest()
+
+
+def _flipped_content_keys(old_tiles: DataFrame, new_tiles: DataFrame) -> DataFrame:
+    """Symmetric difference of the CONTENT-tile key sets — exactly the
+    tiles whose appearance/disappearance can change any instance's
+    assignment (an instance's content matches change iff some content tile
+    covering it flipped; proven in the module docstring's delta argument
+    and byte-parity-tested)."""
+    def proj(df: DataFrame, p: str) -> DataFrame:
+        return df.filter("content_available").select(
+            "level", "x", "y", F.lit(True).alias(f"{p}present")
+        )
+
+    j = proj(old_tiles, "_o").join(
+        proj(new_tiles, "_n"), ["level", "x", "y"], "full_outer"
+    )
+    return j.filter(
+        F.col("_opresent").isNull() | F.col("_npresent").isNull()
+    ).select("level", "x", "y")
+
+
+def _stage3_file_stats(stage3_dir: str):
+    """Per-file (level, x, y) min/max from parquet footers — metadata only.
+    Returns [(path, (l0, l1, x0, x1, y0, y1) | None)]; None when any stat
+    is unavailable (treated as potentially-dirty by the caller)."""
+    import pyarrow.parquet as pq
+
+    out = []
+    for name in sorted(os.listdir(stage3_dir)):
+        if name.startswith(("_", ".")) or not name.endswith(".parquet"):
+            continue
+        path = os.path.join(stage3_dir, name)
+        md = pq.ParquetFile(path).metadata
+        schema_names = [md.schema.column(i).name for i in range(md.num_columns)]
+        idx = {c: schema_names.index(c) for c in ("level", "x", "y")
+               if c in schema_names}
+        if len(idx) != 3:
+            out.append((path, None))
+            continue
+        mins: dict[str, int] = {}
+        maxs: dict[str, int] = {}
+        ok = md.num_rows > 0
+        for rg in range(md.num_row_groups):
+            if not ok:
+                break
+            for c, ci in idx.items():
+                st = md.row_group(rg).column(ci).statistics
+                if st is None or not st.has_min_max:
+                    ok = False
+                    break
+                mins[c] = min(mins.get(c, st.min), st.min)
+                maxs[c] = max(maxs.get(c, st.max), st.max)
+        if not ok and md.num_rows == 0:
+            continue  # empty part file holds no rows — always clean
+        out.append((
+            path,
+            (mins["level"], maxs["level"], mins["x"], maxs["x"],
+             mins["y"], maxs["y"]) if ok else None,
+        ))
+    return out
+
+
+def _file_may_hold_covered(stats, flipped: list[tuple[int, int, int]]) -> bool:
+    """Conservative test: can a file whose (level, x, y) box is ``stats``
+    contain a row whose instance lies under any flipped tile? A covered
+    row's OLD assigned tile is an ancestor or descendant of some flipped
+    tile (two tiles covering the same point nest), so per level ``lv`` in
+    the file's range the candidate keys are: the flipped tile's ancestor
+    key at lv (single cell) when lv <= L, else the flipped tile's
+    descendant range at lv."""
+    l0, l1, x0, x1, y0, y1 = stats
+    for lv in range(l0, l1 + 1):
+        for L, fx, fy in flipped:
+            if lv <= L:
+                cx, cy = fx >> (L - lv), fy >> (L - lv)
+                if x0 <= cx <= x1 and y0 <= cy <= y1:
+                    return True
+            else:
+                s = lv - L
+                rx0, rx1 = fx << s, ((fx + 1) << s) - 1
+                ry0, ry1 = fy << s, ((fy + 1) << s) - 1
+                if rx0 <= x1 and rx1 >= x0 and ry0 <= y1 and ry1 >= y0:
+                    return True
+    return False
+
+
+def _covered_expr(flipped: list[tuple[int, int, int]], bounds, deep_level: int):
+    """Column predicate: the row's instance lies under some flipped tile.
+    Evaluated on cell keys derived from lon/lat (NOT the row's old assigned
+    key — a flipped tile deeper than the assigned leaf needs the point's
+    own cell). Packed-literal isin per flipped level; callers cap the
+    flipped count so the literal lists stay small."""
+    from ..operators.tiling import with_cell_keys
+
+    by_level: dict[int, list[int]] = {}
+    for L, fx, fy in flipped:
+        by_level.setdefault(L, []).append((fx << 32) | fy)
+    lmax = max(by_level)
+
+    def attach(df: DataFrame) -> DataFrame:
+        return with_cell_keys(df, bounds, lmax, x_col="_ccx", y_col="_ccy")
+
+    expr = F.lit(False)
+    for L, packed in by_level.items():
+        key = F.shiftleft(F.shiftright(F.col("_ccx"), lmax - L), 32).bitwiseOR(
+            F.shiftright(F.col("_ccy"), lmax - L)
+        )
+        expr = expr | key.isin(packed)
+    return attach, expr
+
+
+#: delta-path safety valves: a flipped set larger than this means the
+#: append is reshaping a large fraction of the tree — the legacy full
+#: rebuild is then both simpler and no slower
+_MAX_FLIPPED_FOR_DELTA = 200_000
+
+
+def _delta_refresh(
+    spark, ckpt: CheckpointManager, new_inst: DataFrame,
+    inst_columns: list[str], bounds: Bounds, opts: ExportOptions,
+    n_part: int,
+) -> dict | None:
+    """Sub-linear tree + assignment refresh (VERDICT r4 #1). Returns None
+    when preconditions fail (old export without the counts checkpoint,
+    non-parquet checkpoints, a cells table too large for the driver-side
+    merge, deep-cell overflow that would deepen the tree, or a
+    near-rebuild-sized flipped set) — the caller then falls back to the
+    legacy full union build, which is always correct.
+
+    Cost model at 10^12 rows: batch groupBy O(batch), counts merge
+    O(cells), descent O(tiles), covered scan O(files intersecting the
+    dirty region), reassignment O(batch + covered), stage-3 refresh =
+    hard-links for clean files + a rewrite of only the dirty-region files.
+    No full-corpus shuffle anywhere. Fixed Spark-job count is kept minimal
+    (~8 jobs) by doing every tiles/cells-granularity step in pandas on the
+    driver — at small batch sizes per-job latency, not data, dominates.
+    """
+    import pandas as pd
+
+    if ckpt.fmt != "parquet" or not ckpt.is_complete("stage2_cellcounts"):
+        return None
+    counts_dir = ckpt._stage_path("stage2_cellcounts")
+    n_base_cells = _parquet_rows(counts_dir)
+    # cells beyond the driver merge budget -> legacy distributed rebuild
+    # (a distributed counts-merge twin exists in tree_from_counts, but the
+    # flipped/covered bookkeeping below is deliberately driver-resident)
+    if n_base_cells > 4_000_000:
+        return None
+    deep_level_row = pd.read_parquet(
+        counts_dir, columns=["deep_level"]
+    ).head(1)
+    if deep_level_row.empty:
+        return None
+    deep_level = int(deep_level_row.iloc[0, 0])
+
+    from ..operators.tiling import (
+        deep_counts,
+        tree_from_counts_pandas,
+    )
+
+    # ONE Spark job: the batch's deep-cell counts (the caller already
+    # applied opts.query to new_inst). Base counts come straight off the
+    # checkpoint parquet via pyarrow — no job.
+    batch_pdf = deep_counts(new_inst, bounds, deep_level).toPandas()
+    base_pdf = pd.read_parquet(
+        counts_dir, columns=["cell_x", "cell_y", "cnt"]
+    )
+    merged = (
+        pd.concat([base_pdf, batch_pdf], ignore_index=True)
+        .groupby(["cell_x", "cell_y"], as_index=False)["cnt"].sum()
+    )
+    if (
+        deep_level < opts.max_level
+        and (merged["cnt"] > opts.max_features_per_tile).any()
+    ):
+        # a union rebuild would retry at a deeper level than the persisted
+        # counts can express — fall back
+        return None
+
+    tree = tree_from_counts_pandas(spark, merged, bounds, opts, deep_level)
+    tmp2 = _stage_to_tmp(ckpt, "stage2_tiles", tree.tiles)
+    tmp_counts = _stage_to_tmp(
+        ckpt, "stage2_cellcounts",
+        tree.deep_counts_df.withColumn(
+            "deep_level", F.lit(deep_level).cast("int")
+        ),
+    )
+    tiles = spark.read.format(ckpt.fmt).load(tmp2)
+
+    # flipped content keys: pandas symmetric diff (tiles granularity)
+    old_cpdf = pd.read_parquet(
+        ckpt._stage_path("stage2_tiles"),
+        columns=["level", "x", "y", "content_available"],
+    )
+    old_keys = set(map(tuple, old_cpdf.loc[
+        old_cpdf.content_available, ["level", "x", "y"]
+    ].to_numpy()))
+    new_keys = set(map(tuple, tree.tiles_pdf.loc[
+        tree.tiles_pdf.content_available, ["level", "x", "y"]
+    ].to_numpy()))
+    flipped = [
+        (int(l), int(x), int(y))
+        for (l, x, y) in old_keys.symmetric_difference(new_keys)
+    ]
+    if len(flipped) > _MAX_FLIPPED_FOR_DELTA:
+        return None
+
+    stage3_dir = ckpt._stage_path("stage3_assigned")
+    stats = _stage3_file_stats(stage3_dir)
+    if flipped:
+        clean_files = [
+            p for p, s in stats
+            if s is not None and not _file_may_hold_covered(s, flipped)
+        ]
+        dirty_files = [p for p, s in stats
+                       if s is None or _file_may_hold_covered(s, flipped)]
+    else:
+        clean_files, dirty_files = [p for p, _s in stats], []
+
+    if dirty_files:
+        attach, covered = _covered_expr(flipped, bounds, deep_level)
+        suspect = attach(spark.read.parquet(*dirty_files))
+        covered_old = (
+            suspect.filter(covered).select(*inst_columns, "level", "x", "y")
+            .localCheckpoint()          # job 2 (reads dirty-region files)
+        )
+        keep_rows = suspect.filter(~covered).select(
+            *inst_columns, "level", "x", "y"
+        )
+    else:
+        covered_old = None
+        keep_rows = None
+
+    from ..operators import tiling as _tiling
+
+    to_reassign = new_inst.select(*inst_columns)
+    if covered_old is not None:
+        # stage-3 holds one row PER MATCHED TILE (clustering mode assigns
+        # an instance to its leaf AND every over-full content ancestor);
+        # reassignment wants one row per INSTANCE — dedupe on the unique
+        # instance key or each covered url re-enters the assignment once
+        # per old match and every tile on its path duplicates members
+        to_reassign = to_reassign.unionByName(
+            covered_old.select(*inst_columns).dropDuplicates(["url"])
+        )
+    # job 3 — assignment of batch + covered rows only; the tiles_pdf fast
+    # path inside assign_to_content_tiles avoids its collect jobs
+    reassigned = _tiling.assign_to_content_tiles(
+        to_reassign, tree, opts
+    ).select(*inst_columns, "level", "x", "y").localCheckpoint()
+
+    old_side = (
+        covered_old.select("url", "level", "x", "y")
+        if covered_old is not None
+        else spark.createDataFrame(
+            [], "url string, level int, x bigint, y bigint"
+        )
+    )
+    # job 4 — the member diff, restricted to affected urls (unaffected
+    # rows are provably identical on both sides); collected once, reused
+    # for count, per-level boxes, and the broadcast side
+    dirty_keys = [
+        (int(r["level"]), int(r["x"]), int(r["y"]))
+        for r in dirty_tiles(old_side, reassigned).collect()
+    ]
+    dirty = spark.createDataFrame(
+        dirty_keys or [],  # createDataFrame needs the schema when empty
+        schema="level int, x bigint, y bigint",
+    )
+
+    # refreshed stage-3: hard-link every clean file, write only the
+    # rewritten dirty-region rows + the reassignment as delta files (job 5)
+    tmp3 = stage3_dir + "._incr"
+    import shutil
+
+    shutil.rmtree(tmp3, ignore_errors=True)
+    os.makedirs(tmp3)
+    for p in clean_files:
+        dst = os.path.join(tmp3, os.path.basename(p))
+        try:
+            os.link(p, dst)
+        except OSError:
+            shutil.copy2(p, dst)
+    delta_rows = reassigned if keep_rows is None else keep_rows.unionByName(
+        reassigned
+    )
+    scratch = stage3_dir + "._batch"
+    # keep the range layout WITHIN the delta so its files carry tight
+    # footer stats for the next append's pruning
+    delta_rows.repartitionByRange(
+        max(min(n_part, 1 + len(dirty_files)), 1), *TILE_KEY
+    ).write.mode("overwrite").parquet(scratch)
+    for name in os.listdir(scratch):
+        if name.startswith(("_", ".")):
+            continue
+        os.replace(os.path.join(scratch, name),
+                   os.path.join(tmp3, "delta-" + name))
+    shutil.rmtree(scratch, ignore_errors=True)
+
+    return {
+        "tree": tree, "tiles": tiles, "tmp2": tmp2, "tmp3": tmp3,
+        "tmp_counts": tmp_counts, "dirty": dirty,
+        "dirty_keys": dirty_keys,
+        "n_linked_files": len(clean_files),
+        "n_rewritten_source_files": len(dirty_files),
+    }
 
 
 def _stage0_additive_tmp(ckpt: CheckpointManager, new_inst: DataFrame) -> str:

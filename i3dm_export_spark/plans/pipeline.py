@@ -225,12 +225,36 @@ def run_export(
         # skips a full-width materialization + one full input pass
         encoded = inst
 
-    # stage 2: tile tree (tiny output; checkpointed as a table)
-    tree_df = ckpt.run_stage(
-        "stage2_tiles",
-        lambda: tiling.build_tile_tree(encoded, bounds, opts).tiles,
-        input_fingerprint=in_fp,
-    )
+    # stage 2: tile tree (tiny output; checkpointed as a table) + the
+    # deep-cell counts it consumed (also tiny — O(cells)). Persisted counts
+    # make the next incremental append's tree a counts MERGE instead of a
+    # fresh corpus groupBy (plans/incremental delta path, VERDICT r4 #1);
+    # the deep_level travels as a constant column so the append knows the
+    # resolution to aggregate its batch at. On a fresh run the counts are
+    # already materialized inside the build — writing them re-runs no
+    # instance pass.
+    _built: dict = {}
+
+    def _stage2():
+        t = tiling.build_tile_tree(encoded, bounds, opts)
+        _built["tree"] = t
+        return t.tiles
+
+    tree_df = ckpt.run_stage("stage2_tiles", _stage2,
+                             input_fingerprint=in_fp)
+
+    def _stage2_counts():
+        t = _built.get("tree")
+        if t is None:
+            # resume of an export predating the counts checkpoint: rebuild
+            # once (deterministic — same input, same estimate) to upgrade
+            t = tiling.build_tile_tree(encoded, bounds, opts)
+        return t.deep_counts_df.withColumn(
+            "deep_level", F.lit(t.deep_level).cast("int")
+        )
+
+    ckpt.run_stage("stage2_cellcounts", _stage2_counts,
+                   input_fingerprint=in_fp)
     tree = tiling.TileTree(
         tiles=tree_df, deep_level=opts.max_level,
         bounds=bounds,

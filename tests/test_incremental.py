@@ -471,6 +471,89 @@ class TestIncrementalGpuParity:
         assert _tree_files(out_full) == _tree_files(out_incr)
 
 
+class TestDeltaPath:
+    """The sub-linear refresh (VERDICT r4 item 1): counts merge + descent
+    instead of a corpus groupBy, reassignment of batch + flipped-covered
+    rows only, and a stage-3 refresh that hard-links every clean file."""
+
+    def test_fresh_export_append_takes_delta_path(self, spark, tmp_path):
+        base, batch, full = _split(spark, 900, 750)
+        out_full = str(tmp_path / "full")
+        run_export(full, OPTS, out_full, bounds=BB)
+        out_incr = str(tmp_path / "incr")
+        run_export(base, OPTS, out_incr, bounds=BB)
+
+        s3 = os.path.join(out_incr, "_checkpoints", "stage3_assigned")
+        pre_ino = {
+            f: os.stat(os.path.join(s3, f)).st_ino
+            for f in os.listdir(s3)
+            if f.endswith(".parquet") and not f.startswith(("_", "."))
+        }
+        summary = incremental_append(batch, out_incr)
+
+        assert summary["delta_path"] is True
+        assert _tree_files(out_full) == _tree_files(out_incr)
+        # stage-3 economics: clean base files survive as hard links of the
+        # SAME inodes (zero corpus bytes rewritten for the clean region)
+        assert summary["n_stage3_linked_files"] > 0
+        post_ino = {
+            f: os.stat(os.path.join(s3, f)).st_ino
+            for f in os.listdir(s3)
+            if f.endswith(".parquet") and not f.startswith(("_", "."))
+        }
+        linked = [f for f, ino in pre_ino.items() if post_ino.get(f) == ino]
+        assert len(linked) == summary["n_stage3_linked_files"]
+
+    def test_pre_r5_base_falls_back_then_upgrades(self, spark, tmp_path):
+        """A base export lacking the stage2_cellcounts checkpoint (pre-r5
+        layout) must fall back to the legacy full rebuild — same bytes —
+        and write the counts in passing so the NEXT append goes delta."""
+        import shutil
+
+        full = pages_df(spark, 1000)
+        urls = sorted(r["url"] for r in full.select("url").collect())
+        a = full.filter(f"url < '{urls[800]}'")
+        b = full.filter(f"url >= '{urls[800]}' and url < '{urls[920]}'")
+        c = full.filter(f"url >= '{urls[920]}'")
+
+        out_full = str(tmp_path / "full")
+        run_export(full, OPTS, out_full, bounds=BB)
+        out_incr = str(tmp_path / "incr")
+        run_export(a, OPTS, out_incr, bounds=BB)
+
+        ckpt_root = os.path.join(out_incr, "_checkpoints")
+        shutil.rmtree(os.path.join(ckpt_root, "stage2_cellcounts"))
+        for aux in ("_lineage/stage2_cellcounts.done.json",):
+            p = os.path.join(ckpt_root, aux)
+            if os.path.exists(p):
+                os.remove(p)
+        shutil.rmtree(
+            os.path.join(ckpt_root, "_lineage", "stage2_cellcounts"),
+            ignore_errors=True,
+        )
+
+        s1 = incremental_append(b, out_incr)
+        assert s1["delta_path"] is False
+        s2 = incremental_append(c, out_incr)
+        assert s2["delta_path"] is True
+        assert _tree_files(out_full) == _tree_files(out_incr)
+
+    def test_delta_engages_under_clustering(self, spark, tmp_path):
+        """Clustering assigns an instance to its leaf AND every over-full
+        ancestor (multi-row stage-3) — the covered-row dedup inside the
+        delta refresh is what keeps parity here."""
+        opts = ExportOptions(max_features_per_tile=40, max_level=8,
+                             use_i3dm=True, use_clustering=True)
+        base, batch, full = _split(spark, 700, 600)
+        out_full = str(tmp_path / "full")
+        run_export(full, opts, out_full, bounds=BB)
+        out_incr = str(tmp_path / "incr")
+        run_export(base, opts, out_incr, bounds=BB)
+        s = incremental_append(batch, out_incr)
+        assert s["delta_path"] is True
+        assert _tree_files(out_full) == _tree_files(out_incr)
+
+
 class TestIncrementalEdgeCases:
     def test_duplicate_url_append_degrades_loudly(self, spark, tmp_path):
         """An appended url that already exists would alias its old row in

@@ -140,7 +140,10 @@ class TestDriverDescentParity:
                              use_clustering=clustering, max_level=12)
         df = spark.createDataFrame(fixture_pages)
         fast = tiling._build_tile_tree_at(df, fixture_bounds, opts, 12)
-        slow = tiling._build_tile_tree_distributed(df, fixture_bounds, opts, 12)
+        slow = tiling._descend_distributed(
+            tiling.deep_counts(df, fixture_bounds, 12, opts.query),
+            fixture_bounds, opts, 12,
+        )
         got_fast = _tree_to_dict(tiling.collect_tiles(fast))
         got_slow = _tree_to_dict(tiling.collect_tiles(slow))
         assert got_fast == got_slow
