@@ -765,6 +765,9 @@ def _covered_expr(flipped: list[tuple[int, int, int]], bounds, deep_level: int):
 #: append is reshaping a large fraction of the tree — the legacy full
 #: rebuild is then both simpler and no slower
 _MAX_FLIPPED_FOR_DELTA = 200_000
+#: largest cell table merged in pandas on the driver (above it the delta
+#: path switches to the distributed cells-granularity twin)
+_MAX_DRIVER_CELLS = 4_000_000
 
 
 def _delta_refresh(
@@ -783,9 +786,13 @@ def _delta_refresh(
     O(cells), descent O(tiles), covered scan O(files intersecting the
     dirty region), reassignment O(batch + covered), stage-3 refresh =
     hard-links for clean files + a rewrite of only the dirty-region files.
-    No full-corpus shuffle anywhere. Fixed Spark-job count is kept minimal
-    (~8 jobs) by doing every tiles/cells-granularity step in pandas on the
-    driver — at small batch sizes per-job latency, not data, dominates.
+    No full-corpus shuffle anywhere. Up to _MAX_DRIVER_CELLS the
+    tiles/cells-granularity steps run in pandas on the driver, keeping the
+    fixed Spark-job count minimal (~8 jobs — at small batch sizes per-job
+    latency, not data, dominates); beyond it the SAME steps run as
+    cells-granularity Spark jobs (counts-merge groupBy, distributed
+    descent, full-outer flipped diff), so the delta path never falls back
+    merely because the cell table outgrew one machine.
     """
     import pandas as pd
 
@@ -793,43 +800,63 @@ def _delta_refresh(
         return None
     counts_dir = ckpt._stage_path("stage2_cellcounts")
     n_base_cells = _parquet_rows(counts_dir)
-    # cells beyond the driver merge budget -> legacy distributed rebuild
-    # (a distributed counts-merge twin exists in tree_from_counts, but the
-    # flipped/covered bookkeeping below is deliberately driver-resident)
-    if n_base_cells > 4_000_000:
+    if n_base_cells == 0:
         return None
-    deep_level_row = pd.read_parquet(
-        counts_dir, columns=["deep_level"]
-    ).head(1)
-    if deep_level_row.empty:
-        return None
-    deep_level = int(deep_level_row.iloc[0, 0])
 
     from ..operators.tiling import (
         deep_counts,
+        tree_from_counts,
         tree_from_counts_pandas,
     )
 
-    # ONE Spark job: the batch's deep-cell counts (the caller already
-    # applied opts.query to new_inst). Base counts come straight off the
-    # checkpoint parquet via pyarrow — no job.
-    batch_pdf = deep_counts(new_inst, bounds, deep_level).toPandas()
-    base_pdf = pd.read_parquet(
-        counts_dir, columns=["cell_x", "cell_y", "cnt"]
-    )
-    merged = (
-        pd.concat([base_pdf, batch_pdf], ignore_index=True)
-        .groupby(["cell_x", "cell_y"], as_index=False)["cnt"].sum()
-    )
-    if (
-        deep_level < opts.max_level
-        and (merged["cnt"] > opts.max_features_per_tile).any()
-    ):
-        # a union rebuild would retry at a deeper level than the persisted
-        # counts can express — fall back
-        return None
+    if n_base_cells <= _MAX_DRIVER_CELLS:
+        deep_level_row = pd.read_parquet(
+            counts_dir, columns=["deep_level"]
+        ).head(1)
+        deep_level = int(deep_level_row.iloc[0, 0])
+        # ONE Spark job: the batch's deep-cell counts (the caller already
+        # applied opts.query to new_inst). Base counts come straight off
+        # the checkpoint parquet via pyarrow — no job.
+        batch_pdf = deep_counts(new_inst, bounds, deep_level).toPandas()
+        base_pdf = pd.read_parquet(
+            counts_dir, columns=["cell_x", "cell_y", "cnt"]
+        )
+        merged = (
+            pd.concat([base_pdf, batch_pdf], ignore_index=True)
+            .groupby(["cell_x", "cell_y"], as_index=False)["cnt"].sum()
+        )
+        if (
+            deep_level < opts.max_level
+            and (merged["cnt"] > opts.max_features_per_tile).any()
+        ):
+            # a union rebuild would retry at a deeper level than the
+            # persisted counts can express — fall back
+            return None
+        tree = tree_from_counts_pandas(spark, merged, bounds, opts,
+                                       deep_level)
+    else:
+        # distributed twin: identical decision table, cells-granularity
+        # Spark jobs instead of driver pandas (parity-tested in
+        # tests/test_incremental.py via a monkeypatched cell budget)
+        base_df = spark.read.parquet(counts_dir)
+        deep_level = int(base_df.select("deep_level").first()[0])
+        merged_df = (
+            base_df.select("cell_x", "cell_y", "cnt")
+            .unionByName(deep_counts(new_inst, bounds, deep_level))
+            .groupBy("cell_x", "cell_y")
+            .agg(F.sum("cnt").alias("cnt"))
+            .localCheckpoint()
+        )
+        if (
+            deep_level < opts.max_level
+            and merged_df.filter(
+                F.col("cnt") > opts.max_features_per_tile
+            ).limit(1).count()
+        ):
+            return None
+        tree = tree_from_counts(merged_df, bounds, opts, deep_level,
+                                driver_threshold=_MAX_DRIVER_CELLS)
 
-    tree = tree_from_counts_pandas(spark, merged, bounds, opts, deep_level)
     tmp2 = _stage_to_tmp(ckpt, "stage2_tiles", tree.tiles)
     tmp_counts = _stage_to_tmp(
         ckpt, "stage2_cellcounts",
@@ -839,23 +866,35 @@ def _delta_refresh(
     )
     tiles = spark.read.format(ckpt.fmt).load(tmp2)
 
-    # flipped content keys: pandas symmetric diff (tiles granularity)
-    old_cpdf = pd.read_parquet(
-        ckpt._stage_path("stage2_tiles"),
-        columns=["level", "x", "y", "content_available"],
-    )
-    old_keys = set(map(tuple, old_cpdf.loc[
-        old_cpdf.content_available, ["level", "x", "y"]
-    ].to_numpy()))
-    new_keys = set(map(tuple, tree.tiles_pdf.loc[
-        tree.tiles_pdf.content_available, ["level", "x", "y"]
-    ].to_numpy()))
-    flipped = [
-        (int(l), int(x), int(y))
-        for (l, x, y) in old_keys.symmetric_difference(new_keys)
-    ]
-    if len(flipped) > _MAX_FLIPPED_FOR_DELTA:
-        return None
+    # flipped content keys (tiles granularity): pandas symmetric diff on
+    # the driver path, full-outer anti-match + bounded collect on the
+    # distributed path (the cap proves the collect is small)
+    if tree.tiles_pdf is not None:
+        old_cpdf = pd.read_parquet(
+            ckpt._stage_path("stage2_tiles"),
+            columns=["level", "x", "y", "content_available"],
+        )
+        old_keys = set(map(tuple, old_cpdf.loc[
+            old_cpdf.content_available, ["level", "x", "y"]
+        ].to_numpy()))
+        new_keys = set(map(tuple, tree.tiles_pdf.loc[
+            tree.tiles_pdf.content_available, ["level", "x", "y"]
+        ].to_numpy()))
+        flipped = [
+            (int(l), int(x), int(y))
+            for (l, x, y) in old_keys.symmetric_difference(new_keys)
+        ]
+        if len(flipped) > _MAX_FLIPPED_FOR_DELTA:
+            return None
+    else:
+        flipped_rows = _flipped_content_keys(
+            ckpt.read("stage2_tiles"), tree.tiles
+        ).limit(_MAX_FLIPPED_FOR_DELTA + 1).collect()
+        if len(flipped_rows) > _MAX_FLIPPED_FOR_DELTA:
+            return None
+        flipped = [
+            (int(r["level"]), int(r["x"]), int(r["y"])) for r in flipped_rows
+        ]
 
     stage3_dir = ckpt._stage_path("stage3_assigned")
     stats = _stage3_file_stats(stage3_dir)

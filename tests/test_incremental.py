@@ -538,6 +538,23 @@ class TestDeltaPath:
         assert s2["delta_path"] is True
         assert _tree_files(out_full) == _tree_files(out_incr)
 
+    def test_distributed_twin_byte_parity(self, spark, tmp_path, monkeypatch):
+        """Beyond _MAX_DRIVER_CELLS the delta path switches to the
+        cells-granularity Spark twin (distributed counts merge, distributed
+        descent, full-outer flipped diff). Forcing the budget to 0 routes
+        every step through it — bytes must still match a full rebuild."""
+        from i3dm_export_spark.plans import incremental as incr
+
+        monkeypatch.setattr(incr, "_MAX_DRIVER_CELLS", 0)
+        base, batch, full = _split(spark, 900, 750)
+        out_full = str(tmp_path / "full")
+        run_export(full, OPTS, out_full, bounds=BB)
+        out_incr = str(tmp_path / "incr")
+        run_export(base, OPTS, out_incr, bounds=BB)
+        s = incremental_append(batch, out_incr)
+        assert s["delta_path"] is True
+        assert _tree_files(out_full) == _tree_files(out_incr)
+
     def test_delta_engages_under_clustering(self, spark, tmp_path):
         """Clustering assigns an instance to its leaf AND every over-full
         ancestor (multi-row stage-3) — the covered-row dedup inside the
