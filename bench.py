@@ -37,13 +37,65 @@ TRIALS = max(1, int(os.environ.get("BENCH_TRIALS", 3)))
 QUIET_WAIT_S = float(os.environ.get("BENCH_QUIET_WAIT_S", 240))
 QUIET_LOAD = float(os.environ.get("BENCH_QUIET_LOAD", 2.0))
 # Per-leg load audit (VERDICT r4 item 2): a leg whose best trial ran inside
-# a co-tenant burst (1-min load above this at either window edge) is re-run
-# after a short quiet wait, bounded by BENCH_LEG_RETRIES extra trials — so
-# the recorded artifact carries clean numbers (or an audit trail proving no
-# clean window existed) instead of unexplained regressions.
-POLLUTED_LOAD = float(os.environ.get("BENCH_POLLUTED_LOAD", 4.0))
+# a co-tenant burst is re-run after a short quiet wait, bounded by
+# BENCH_LEG_RETRIES extra trials — so the recorded artifact carries clean
+# numbers (or an audit trail proving no clean window existed) instead of
+# unexplained regressions. Pollution is judged on EXTERNAL CPU — busy
+# jiffies from /proc/stat minus this process tree's own jiffies — because
+# 1-min loadavg conflates the leg's own 32 threads with co-tenants (an 18 s
+# leg at 32 runnable threads alone pushes loadavg past 8, which made every
+# clean headline window read "polluted" and burned retries for nothing).
+POLLUTED_EXT_CORES = float(os.environ.get("BENCH_POLLUTED_EXT_CORES", 2.0))
 LEG_RETRIES = max(0, int(os.environ.get("BENCH_LEG_RETRIES", 2)))
 LEG_AUDIT: dict[str, dict] = {}
+_HZ = os.sysconf("SC_CLK_TCK")
+
+
+def _total_busy_jiffies() -> int:
+    """All-CPU busy jiffies (everything except idle+iowait) since boot."""
+    try:
+        with open("/proc/stat") as f:
+            vals = [int(x) for x in f.readline().split()[1:]]
+    except (OSError, ValueError):
+        return -1
+    idle = vals[3] + (vals[4] if len(vals) > 4 else 0)
+    return sum(vals) - idle
+
+
+def _tree_jiffies() -> int:
+    """utime+stime (+ reaped-child cutime/cstime) summed over this process
+    tree — the bench's python driver plus the Spark JVM it gatewayed.
+    Reaped children fold into the parent's cutime/cstime and leave /proc,
+    so live-sum + cutime never double-counts."""
+    me = os.getpid()
+    ppid: dict[int, int] = {}
+    cpu: dict[int, int] = {}
+    for d in os.listdir("/proc"):
+        if not d.isdigit():
+            continue
+        try:
+            with open(f"/proc/{d}/stat") as f:
+                s = f.read()
+        except OSError:
+            continue  # raced a process exit
+        try:
+            rest = s[s.rindex(")") + 2:].split()
+            pid = int(d)
+            ppid[pid] = int(rest[1])
+            cpu[pid] = (int(rest[11]) + int(rest[12])
+                        + int(rest[13]) + int(rest[14]))
+        except (ValueError, IndexError):
+            continue
+    total = 0
+    for pid in cpu:
+        p, seen = pid, set()
+        while p > 1 and p not in seen:
+            if p == me:
+                total += cpu[pid]
+                break
+            seen.add(p)
+            p = ppid.get(p, 1)
+    return total
 
 
 def _loadavg() -> float:
@@ -68,34 +120,43 @@ def wait_quiet(budget: float = QUIET_WAIT_S) -> float:
 def best_of(fn, trials: int = TRIALS, name: str | None = None) -> tuple[float, object]:
     """(min wall seconds, last result) over ``trials`` executions.
 
-    Every trial's window load (max of loadavg at start/end) is sampled; if
-    the best trial's window was polluted (> POLLUTED_LOAD), the leg re-runs
-    after a short quiet wait, up to LEG_RETRIES extra trials. The audit —
-    best-window load + retry count — lands in the summary's ``leg_audit``
-    when ``name`` is given."""
+    Every trial samples the external CPU burned during its window —
+    co-tenant cores-on-average, excluding this process tree by
+    construction. If the best trial's window was polluted
+    (> POLLUTED_EXT_CORES), the leg re-runs after a short quiet wait, up
+    to LEG_RETRIES extra trials. The audit — best-trial external cores +
+    loadavg context + retry count — lands in ``leg_audit`` when ``name``
+    is given."""
     best = float("inf")
-    best_load = float("inf")
+    best_ext = float("inf")
+    best_load = -1.0
     res = None
 
     def run_once():
-        nonlocal best, best_load, res
+        nonlocal best, best_ext, best_load, res
         la0 = _loadavg()
+        b0, o0 = _total_busy_jiffies(), _tree_jiffies()
         t0 = time.perf_counter()
         res = fn()
         wall = time.perf_counter() - t0
-        window = max(la0, _loadavg())
+        db = _total_busy_jiffies() - b0
+        if b0 < 0 or db < 0:
+            ext = -1.0  # /proc unreadable: audit unavailable, never retries
+        else:
+            ext = max(0.0, (db - (_tree_jiffies() - o0)) / _HZ / max(wall, 1e-9))
         if wall < best:
-            best, best_load = wall, window
+            best, best_ext, best_load = wall, ext, max(la0, _loadavg())
 
     for _ in range(trials):
         run_once()
     retries = 0
-    while best_load > POLLUTED_LOAD and retries < LEG_RETRIES:
+    while best_ext > POLLUTED_EXT_CORES and retries < LEG_RETRIES:
         wait_quiet(60)
         retries += 1
         run_once()
     if name is not None:
-        LEG_AUDIT[name] = {"load": round(best_load, 2), "retries": retries}
+        LEG_AUDIT[name] = {"ext_cores": round(best_ext, 2),
+                           "load": round(best_load, 2), "retries": retries}
     return best, res
 
 
@@ -221,14 +282,17 @@ def main() -> None:
 
     best_e2e = best_app = best_serve = float("inf")
     best_pair_speedup = 0.0
-    pair_load = float("inf")
+    pair_ext = float("inf")
+    pair_load = -1.0
     pair_retries = 0
     summary = app = served = None
 
     def _pair_trial():
         nonlocal best_e2e, best_app, best_serve, best_pair_speedup
-        nonlocal pair_load, summary, app, served
+        nonlocal pair_ext, pair_load, summary, app, served
         la0 = _loadavg()
+        b0, o0 = _total_busy_jiffies(), _tree_jiffies()
+        t_pair = time.perf_counter()
         e2e_dir = tempfile.mkdtemp(prefix="bench_e2e_")
         t0 = time.perf_counter()
         summary = run_export(
@@ -252,22 +316,29 @@ def main() -> None:
         )
         serve_i = time.perf_counter() - t0
         shutil.rmtree(e2e_dir, ignore_errors=True)
-        window = max(la0, _loadavg())
+        wall = time.perf_counter() - t_pair
+        db = _total_busy_jiffies() - b0
+        if b0 < 0 or db < 0:
+            ext = -1.0
+        else:
+            ext = max(0.0, (db - (_tree_jiffies() - o0)) / _HZ / max(wall, 1e-9))
         if min(e2e_i - best_e2e, app_i - best_app, serve_i - best_serve) < 0:
-            pair_load = window  # window behind at least one recorded best
+            # window behind at least one recorded best
+            pair_ext, pair_load = ext, max(la0, _loadavg())
         best_e2e = min(best_e2e, e2e_i)
         best_app = min(best_app, app_i)
         best_serve = min(best_serve, serve_i)
 
     for _ in range(TRIALS):
         _pair_trial()
-    while pair_load > POLLUTED_LOAD and pair_retries < LEG_RETRIES:
+    while pair_ext > POLLUTED_EXT_CORES and pair_retries < LEG_RETRIES:
         wait_quiet(60)
         pair_retries += 1
         _pair_trial()
     for leg in ("export_e2e_sinks", "incremental_append_1pct",
                 "serve_query_bbox"):
-        LEG_AUDIT[leg] = {"load": round(pair_load, 2),
+        LEG_AUDIT[leg] = {"ext_cores": round(pair_ext, 2),
+                          "load": round(pair_load, 2),
                           "retries": pair_retries}
 
     timings["export_e2e_sinks"] = round(best_e2e, 3)
