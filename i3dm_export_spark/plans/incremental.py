@@ -284,7 +284,15 @@ def incremental_append(
     new_inst = stage0_instances(new_pages)
     if opts.query:
         new_inst = new_inst.filter(F.expr(opts.query))
+    # materialize the batch ONCE (executor-local blocks, O(batch)): the
+    # bounds guard, overlap guard, deep-cell counts, stage-0 write,
+    # reassignment and summary count below each run a job over it, and
+    # re-evaluating an arbitrary source lineage (a JDBC read, a synthesis
+    # plan) per consumer multiplies the append's fixed cost by ~6
+    new_inst = new_inst.localCheckpoint()
+    _mark("guards.meta")
     _check_bounds(new_inst, bounds, meta)
+    _mark("guards.bounds")
 
     if ckpt.is_complete("stage0_instances"):
         old_inst = ckpt.read("stage0_instances")
@@ -326,6 +334,7 @@ def incremental_append(
     # run_export resume against any (possibly mutated) input fails loudly
     # instead of silently serving union-state stages
     append_fp = _chained_fingerprint(ckpt, new_pages, old_inst)
+    _mark("guards.fingerprint")
 
     # url is the diff key, so an appended url that ALREADY exists would
     # alias its old row in the assignment diff: if both copies land in the
@@ -343,7 +352,10 @@ def incremental_append(
             "the batch or run a full re-export for upserts"
         )
 
-    _mark("guards")
+    _mark("guards.overlap")
+    walls["guards"] = round(
+        sum(v for k, v in walls.items() if k.startswith("guards.")), 3
+    )
 
     # materialize the refreshed stage-0 FIRST: every later consumer reads
     # durable parquet instead of re-evaluating lazy union lineage.
@@ -377,6 +389,8 @@ def incremental_append(
         tmp2, tmp3 = delta["tmp2"], delta["tmp3"]
         tmp_counts = delta["tmp_counts"]
         new_assigned = spark.read.format(ckpt.fmt).load(tmp3)
+        for k, v in delta.get("walls", {}).items():
+            walls[f"delta.{k}"] = v
         _mark("tree_and_assignment")
         dirty = delta["dirty"]
         n_dirty = len(delta["dirty_keys"])  # already collected — no job
@@ -464,6 +478,7 @@ def incremental_append(
     n_written = sinks.write_binary_files(
         dirty_files, content_dir, manifest_path=dirty_manifest_dir
     )
+    _mark("reencode.encode_write")
 
     # removals: previously-written content files whose tile is gone or was
     # re-encoded under a different key set. Old manifest rows minus (still
@@ -471,19 +486,6 @@ def incremental_append(
     # from the TREE (every content tile has members by the decision table:
     # content_available requires cnt > 0), so this is O(tiles), never a
     # corpus-wide distinct.
-    current_files = tiles.filter("content_available").select(
-        F.format_string(f"%d_%d_%d.{ext}", "level", "x", "y").alias("relpath")
-    )
-    old_manifest = spark.read.parquet(manifest_dir)
-    # deletions run ON THE EXECUTORS over shared storage (VERDICT r4 #8):
-    # a near-rebuild append can remove a large fraction of the corpus's
-    # files, and collecting the relpaths to unlink serially would make the
-    # driver the bottleneck. mapInPandas yields one count per batch — the
-    # driver sees only the tally.
-    removed_df = old_manifest.select("relpath").join(
-        current_files, "relpath", "left_anti"
-    )
-
     def _unlink_rows(batches):
         import pandas as _pd
 
@@ -495,25 +497,93 @@ def incremental_append(
                     pass
             yield _pd.DataFrame({"n": [len(pdf)]})
 
-    n_removed = int(
-        removed_df.mapInPandas(_unlink_rows, "n long")
-        .agg(F.sum("n")).first()[0] or 0
-    )
+    tiles_pdf = getattr(tree, "tiles_pdf", None)
+    n_old_manifest = _parquet_rows(manifest_dir)
+    if tiles_pdf is not None and n_old_manifest <= _MAX_DRIVER_TILES:
+        # driver fast path: the manifest is O(tiles) — merge it in pandas
+        # and write with pyarrow instead of paying ~4 Spark jobs' latency
+        # for a few hundred rows (distributed twin below for bigger trees;
+        # parity-tested via a monkeypatched _MAX_DRIVER_TILES)
+        import pandas as pd
 
-    # merged manifest: old rows minus removed minus rewritten, plus the
-    # incremental rows — then swap into place
-    new_manifest = (
-        old_manifest.join(current_files, "relpath", "left_semi")
-        .join(
-            spark.read.parquet(dirty_manifest_dir).select("relpath"),
-            "relpath",
-            "left_anti",
+        cc = tiles_pdf.loc[tiles_pdf["content_available"]]
+        cur_rel = {
+            f"{int(l)}_{int(x)}_{int(y)}.{ext}"
+            for l, x, y in zip(cc["level"], cc["x"], cc["y"])
+        }
+        old_m = pd.read_parquet(manifest_dir)
+        incr_m = pd.read_parquet(dirty_manifest_dir)
+        removed = [r for r in old_m["relpath"] if r not in cur_rel]
+        if len(removed) <= _MAX_DRIVER_UNLINKS:
+            from concurrent.futures import ThreadPoolExecutor
+
+            def _rm(rel: str) -> None:
+                try:
+                    os.remove(os.path.join(content_dir, rel))
+                except FileNotFoundError:
+                    pass
+
+            if removed:
+                with ThreadPoolExecutor(max_workers=32) as pool:
+                    list(pool.map(_rm, removed))
+            n_removed = len(removed)
+        else:
+            # a near-rebuild-sized removal set: unlink on the executors
+            # over shared storage (VERDICT r4 #8)
+            rem_df = spark.createDataFrame(
+                [(r,) for r in removed], schema="relpath string"
+            ).repartition(n_part)
+            n_removed = int(
+                rem_df.mapInPandas(_unlink_rows, "n long")
+                .agg(F.sum("n")).first()[0] or 0
+            )
+        _mark("reencode.removals")
+        rewritten = set(incr_m["relpath"])
+        keep = old_m[
+            old_m["relpath"].isin(cur_rel)
+            & ~old_m["relpath"].isin(rewritten)
+        ]
+        merged_m = pd.concat([keep, incr_m], ignore_index=True)
+        n_content = len(merged_m)
+        _write_parquet_driver(manifest_dir, merged_m, _MANIFEST_DDL)
+        _mark("reencode.manifest_merge")
+    else:
+        current_files = tiles.filter("content_available").select(
+            F.format_string(f"%d_%d_%d.{ext}", "level", "x", "y")
+            .alias("relpath")
         )
-        .unionByName(spark.read.parquet(dirty_manifest_dir))
-    ).localCheckpoint()
-    n_content = new_manifest.count()
-    new_manifest.write.mode("overwrite").parquet(manifest_dir)
-    _mark("reencode_dirty")
+        old_manifest = spark.read.parquet(manifest_dir)
+        # deletions run ON THE EXECUTORS over shared storage (VERDICT r4
+        # #8): a near-rebuild append can remove a large fraction of the
+        # corpus's files, and collecting the relpaths to unlink serially
+        # would make the driver the bottleneck. mapInPandas yields one
+        # count per batch — the driver sees only the tally.
+        removed_df = old_manifest.select("relpath").join(
+            current_files, "relpath", "left_anti"
+        )
+        n_removed = int(
+            removed_df.mapInPandas(_unlink_rows, "n long")
+            .agg(F.sum("n")).first()[0] or 0
+        )
+        _mark("reencode.removals")
+
+        # merged manifest: old rows minus removed minus rewritten, plus
+        # the incremental rows — then swap into place
+        new_manifest = (
+            old_manifest.join(current_files, "relpath", "left_semi")
+            .join(
+                spark.read.parquet(dirty_manifest_dir).select("relpath"),
+                "relpath",
+                "left_anti",
+            )
+            .unionByName(spark.read.parquet(dirty_manifest_dir))
+        ).localCheckpoint()
+        n_content = new_manifest.count()
+        new_manifest.write.mode("overwrite").parquet(manifest_dir)
+        _mark("reencode.manifest_merge")
+    walls["reencode_dirty"] = round(
+        sum(v for k, v in walls.items() if k.startswith("reencode.")), 3
+    )
 
     # 4: subtrees + tileset.json. Reassemble ONLY subtrees whose
     # bit-relevant tile rows changed (new tile key, content flag flip, or
@@ -521,11 +591,67 @@ def incremental_append(
     # the union-tree bytes, so assembly cost tracks the append's dirty
     # REGION, not the corpus tree. Appends never remove content, so no
     # subtree file is ever deleted; the manifest is merged like content.
-    old_tiles = ckpt.read("stage2_tiles")
-    changed_keys = _changed_tile_keys(old_tiles, tiles)
-    affected_roots = subtree.affected_subtree_roots(
-        changed_keys, subtree_levels
-    ).localCheckpoint()
+    n_old_tiles = (
+        _parquet_rows(ckpt._stage_path("stage2_tiles"))
+        if ckpt.fmt == "parquet" else _MAX_DRIVER_TILES + 1
+    )
+    if tiles_pdf is not None and n_old_tiles <= _MAX_DRIVER_TILES:
+        # driver fast path: the bit-relevant diff and the root projection
+        # are O(tiles) — numpy on the driver instead of a full-outer join
+        # + distinct + localCheckpoint job chain over a few hundred rows
+        # (same decision table as _changed_tile_keys /
+        # affected_subtree_roots; distributed twin below, parity-tested)
+        import numpy as np
+        import pandas as pd
+
+        old_p = pd.read_parquet(
+            ckpt._stage_path("stage2_tiles"),
+            columns=["level", "x", "y", "content_available", "n_instances"],
+        )
+
+        def _proj_pdf(p: "pd.DataFrame", pre: str) -> "pd.DataFrame":
+            return pd.DataFrame({
+                "level": p["level"].astype("int64"),
+                "x": p["x"].astype("int64"),
+                "y": p["y"].astype("int64"),
+                f"{pre}c": p["content_available"].astype(bool),
+                f"{pre}h": (p["n_instances"] > 0),
+            })
+
+        m = _proj_pdf(old_p, "_o").merge(
+            _proj_pdf(tiles_pdf, "_n"), on=["level", "x", "y"], how="outer"
+        )
+        chg = m[
+            m["_oc"].isna() | m["_nc"].isna()
+            | (m["_oc"] != m["_nc"]) | (m["_oh"] != m["_nh"])
+        ]
+        s = subtree_levels
+        lv = chg["level"].to_numpy(np.int64)
+        cx = chg["x"].to_numpy(np.int64)
+        cy = chg["y"].to_numpy(np.int64)
+        bm = (lv % s == 0) & (lv > 0)
+        roots = set(zip(
+            (lv - lv % s).tolist(),
+            (cx >> (lv % s)).tolist(),
+            (cy >> (lv % s)).tolist(),
+        )) | set(zip(
+            (lv[bm] - s).tolist(),
+            (cx[bm] >> s).tolist(),
+            (cy[bm] >> s).tolist(),
+        ))
+        n_affected_roots = len(roots)
+        affected_roots = spark.createDataFrame(
+            sorted((int(a), int(b), int(c)) for a, b, c in roots),
+            schema="root_level int, root_x bigint, root_y bigint",
+        )
+    else:
+        old_tiles = ckpt.read("stage2_tiles")
+        changed_keys = _changed_tile_keys(old_tiles, tiles)
+        affected_roots = subtree.affected_subtree_roots(
+            changed_keys, subtree_levels
+        ).localCheckpoint()
+        n_affected_roots = affected_roots.count()
+    _mark("subtrees.changed_roots")
     subs_df = subtree.build_subtrees_spark(
         tiles, subtree_levels, roots=affected_roots
     )
@@ -538,33 +664,58 @@ def incremental_append(
     sub_incr_dir = os.path.join(ckpt_root, "_sink_manifests", "_subtrees_incr")
     sinks.write_binary_files(sub_files, subtrees_dir,
                              manifest_path=sub_incr_dir)
-    sub_incr = spark.read.parquet(sub_incr_dir)
-    merged_sub = (
-        spark.read.parquet(sub_manifest_dir)
-        .join(sub_incr.select("relpath"), "relpath", "left_anti")
-        .unionByName(sub_incr)
-    ).localCheckpoint()
-    n_subtree_files = merged_sub.count()
-    merged_sub.write.mode("overwrite").parquet(sub_manifest_dir)
-    _mark("subtrees")
+    _mark("subtrees.assemble_write")
+    if _parquet_rows(sub_manifest_dir) <= _MAX_DRIVER_TILES:
+        # driver fast path (O(subtree files) — strictly below O(tiles)):
+        # pandas merge + pyarrow write; distributed twin beyond
+        import pandas as pd
+
+        old_s = pd.read_parquet(sub_manifest_dir)
+        incr_s = pd.read_parquet(sub_incr_dir)
+        merged_s = pd.concat(
+            [old_s[~old_s["relpath"].isin(set(incr_s["relpath"]))], incr_s],
+            ignore_index=True,
+        )
+        n_subtree_files = len(merged_s)
+        _write_parquet_driver(sub_manifest_dir, merged_s, _MANIFEST_DDL)
+    else:
+        sub_incr = spark.read.parquet(sub_incr_dir)
+        merged_sub = (
+            spark.read.parquet(sub_manifest_dir)
+            .join(sub_incr.select("relpath"), "relpath", "left_anti")
+            .unionByName(sub_incr)
+        ).localCheckpoint()
+        n_subtree_files = merged_sub.count()
+        merged_sub.write.mode("overwrite").parquet(sub_manifest_dir)
+    _mark("subtrees.manifest_merge")
+    walls["subtrees"] = round(
+        sum(v for k, v in walls.items() if k.startswith("subtrees.")), 3
+    )
 
     # subtreeLevels inference (reference src/Program.cs:151: level of the
     # 2nd subtree in sorted key order, else 2) from the union tree — the
     # level-0 root is unique, so the 2nd sorted subtree sits at the 2nd
     # distinct root level whenever one exists.
-    root_levels = (
-        tiles.filter(F.col("n_instances") > 0)
-        .select((F.col("level") - F.col("level") % subtree_levels)
-                .alias("rl"))
-        .distinct().orderBy("rl").limit(2).collect()
-    )
-    inferred_subtree_levels = (
-        int(root_levels[1]["rl"]) if len(root_levels) > 1 else 2
-    )
-    avail_levels = (
-        tiles.agg((F.max("level") + F.lit(1)).alias("al"))
-        .collect()[0]["al"]
-    )
+    if tiles_pdf is not None:
+        # O(tiles) aggregates straight off the driver frame — no jobs
+        occ = tiles_pdf.loc[tiles_pdf["n_instances"] > 0, "level"]
+        rls = sorted({int(v) - int(v) % subtree_levels for v in occ})[:2]
+        inferred_subtree_levels = int(rls[1]) if len(rls) > 1 else 2
+        avail_levels = int(tiles_pdf["level"].max()) + 1
+    else:
+        root_levels = (
+            tiles.filter(F.col("n_instances") > 0)
+            .select((F.col("level") - F.col("level") % subtree_levels)
+                    .alias("rl"))
+            .distinct().orderBy("rl").limit(2).collect()
+        )
+        inferred_subtree_levels = (
+            int(root_levels[1]["rl"]) if len(root_levels) > 1 else 2
+        )
+        avail_levels = (
+            tiles.agg((F.max("level") + F.lit(1)).alias("al"))
+            .collect()[0]["al"]
+        )
     region = bounds.to_region(radians=not opts.keep_projection)
     ts_json = enc.tileset_json(
         region, opts.geometric_error, avail_levels, inferred_subtree_levels,
@@ -608,7 +759,7 @@ def incremental_append(
         "n_removed_files": n_removed,
         "n_content_tiles": n_content,
         "n_subtree_files": n_subtree_files,
-        "n_dirty_subtrees": affected_roots.count(),
+        "n_dirty_subtrees": n_affected_roots,
         "available_levels": avail_levels,
         "delta_path": delta is not None,
         "n_stage3_linked_files": (
@@ -768,6 +919,62 @@ _MAX_FLIPPED_FOR_DELTA = 200_000
 #: largest cell table merged in pandas on the driver (above it the delta
 #: path switches to the distributed cells-granularity twin)
 _MAX_DRIVER_CELLS = 4_000_000
+#: largest tiles/manifest table handled in pandas on the driver (tile and
+#: manifest rows are O(tiles), 3 orders below instances; above it the
+#: append falls back to the distributed Spark twins for the tile-
+#: granularity bookkeeping steps — same pattern as _MAX_DRIVER_CELLS)
+_MAX_DRIVER_TILES = 4_000_000
+#: largest removed-file set unlinked from the driver (thread pool);
+#: beyond it deletions run distributed on the executors (VERDICT r4 #8)
+_MAX_DRIVER_UNLINKS = 100_000
+
+_ARROW_TYPES = {
+    "int32": "int32", "int64": "int64", "bool": "bool_", "string": "string",
+}
+
+
+def _write_parquet_driver(path: str, pdf, ddl: list[tuple[str, str]]) -> None:
+    """Driver-side parquet write of a small pandas frame with an EXPLICIT
+    arrow schema matching what the Spark writer would produce, so every
+    downstream reader (Spark, pandas, the footer-stats scans) sees the
+    same column types as a Spark-written checkpoint/manifest. Overwrite
+    semantics like ``df.write.mode("overwrite")`` — used by the append's
+    driver fast paths for tile-granularity bookkeeping, where a full
+    Spark job's scheduler latency dwarfs the data."""
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    schema = pa.schema(
+        [(name, getattr(pa, _ARROW_TYPES[t])()) for name, t in ddl]
+    )
+    cols = [name for name, _t in ddl]
+    table = pa.Table.from_pandas(
+        pdf[cols], schema=schema, preserve_index=False
+    )
+    tmp = path + ".tmpwrite"
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp)
+    pq.write_table(table, os.path.join(tmp, "part-00000.parquet"))
+    shutil.rmtree(path, ignore_errors=True)
+    os.replace(tmp, path)
+
+
+#: column DDLs for the driver-written twins (types pinned to what the
+#: Spark writer produces for the same frames)
+_TILES_DDL = [
+    ("level", "int32"), ("x", "int64"), ("y", "int64"),
+    ("available", "bool"), ("content_available", "bool"),
+    ("n_instances", "int64"),
+]
+_COUNTS_DDL = [
+    ("cell_x", "int64"), ("cell_y", "int64"), ("cnt", "int64"),
+    ("deep_level", "int32"),
+]
+_MANIFEST_DDL = [
+    ("relpath", "string"), ("n_bytes", "int64"), ("content_md5", "string"),
+]
 
 
 def _delta_refresh(
@@ -795,6 +1002,16 @@ def _delta_refresh(
     merely because the cell table outgrew one machine.
     """
     import pandas as pd
+    import time as _time
+
+    dwalls: dict[str, float] = {}
+    _dt0 = _time.perf_counter()
+
+    def _dmark(sub: str) -> None:
+        nonlocal _dt0
+        now = _time.perf_counter()
+        dwalls[sub] = round(dwalls.get(sub, 0.0) + (now - _dt0), 3)
+        _dt0 = now
 
     if ckpt.fmt != "parquet" or not ckpt.is_complete("stage2_cellcounts"):
         return None
@@ -857,14 +1074,31 @@ def _delta_refresh(
         tree = tree_from_counts(merged_df, bounds, opts, deep_level,
                                 driver_threshold=_MAX_DRIVER_CELLS)
 
-    tmp2 = _stage_to_tmp(ckpt, "stage2_tiles", tree.tiles)
-    tmp_counts = _stage_to_tmp(
-        ckpt, "stage2_cellcounts",
-        tree.deep_counts_df.withColumn(
-            "deep_level", F.lit(deep_level).cast("int")
-        ),
-    )
+    _dmark("counts_and_tree")
+    # stage-2 refresh writes: tiles and cell counts are O(tiles)/O(cells)
+    # frames already sitting in driver memory on the pandas path — write
+    # them with pyarrow directly (zero Spark jobs) instead of paying two
+    # full job round-trips for a few hundred rows; the distributed branch
+    # keeps the Spark writes
+    if tree.tiles_pdf is not None:
+        tmp2 = ckpt._stage_path("stage2_tiles") + "._incr"
+        _write_parquet_driver(tmp2, tree.tiles_pdf, _TILES_DDL)
+    else:
+        tmp2 = _stage_to_tmp(ckpt, "stage2_tiles", tree.tiles)
+    if n_base_cells <= _MAX_DRIVER_CELLS:
+        counts_pdf = merged.copy()
+        counts_pdf["deep_level"] = deep_level
+        tmp_counts = ckpt._stage_path("stage2_cellcounts") + "._incr"
+        _write_parquet_driver(tmp_counts, counts_pdf, _COUNTS_DDL)
+    else:
+        tmp_counts = _stage_to_tmp(
+            ckpt, "stage2_cellcounts",
+            tree.deep_counts_df.withColumn(
+                "deep_level", F.lit(deep_level).cast("int")
+            ),
+        )
     tiles = spark.read.format(ckpt.fmt).load(tmp2)
+    _dmark("write_stage2")
 
     # flipped content keys (tiles granularity): pandas symmetric diff on
     # the driver path, full-outer anti-match + bounded collect on the
@@ -896,8 +1130,10 @@ def _delta_refresh(
             (int(r["level"]), int(r["x"]), int(r["y"])) for r in flipped_rows
         ]
 
+    _dmark("flipped_keys")
     stage3_dir = ckpt._stage_path("stage3_assigned")
     stats = _stage3_file_stats(stage3_dir)
+    _dmark("file_stats")
     if flipped:
         clean_files = [
             p for p, s in stats
@@ -921,6 +1157,7 @@ def _delta_refresh(
     else:
         covered_old = None
         keep_rows = None
+    _dmark("covered_scan")
 
     from ..operators import tiling as _tiling
 
@@ -939,6 +1176,7 @@ def _delta_refresh(
     reassigned = _tiling.assign_to_content_tiles(
         to_reassign, tree, opts
     ).select(*inst_columns, "level", "x", "y").localCheckpoint()
+    _dmark("reassign")
 
     old_side = (
         covered_old.select("url", "level", "x", "y")
@@ -958,6 +1196,7 @@ def _delta_refresh(
         dirty_keys or [],  # createDataFrame needs the schema when empty
         schema="level int, x bigint, y bigint",
     )
+    _dmark("member_diff")
 
     # refreshed stage-3: hard-link every clean file, write only the
     # rewritten dirty-region rows + the reassignment as delta files (job 5)
@@ -988,12 +1227,14 @@ def _delta_refresh(
                    os.path.join(tmp3, "delta-" + name))
     shutil.rmtree(scratch, ignore_errors=True)
 
+    _dmark("stage3_link_write")
     return {
         "tree": tree, "tiles": tiles, "tmp2": tmp2, "tmp3": tmp3,
         "tmp_counts": tmp_counts, "dirty": dirty,
         "dirty_keys": dirty_keys,
         "n_linked_files": len(clean_files),
         "n_rewritten_source_files": len(dirty_files),
+        "walls": dwalls,
     }
 
 

@@ -44,7 +44,6 @@ def write_binary_files(
     persisted there as parquet (the action that drives the writes);
     otherwise a plain count() drives them.
     """
-    spark = files.sparkSession
     os.makedirs(root_dir, exist_ok=True)
 
     def _write(batches):
@@ -88,5 +87,16 @@ def write_binary_files(
     )
     if manifest_path:
         manifest.write.mode("overwrite").parquet(manifest_path)
-        return spark.read.parquet(manifest_path).count()
+        # row count straight off the written footers (pyarrow) — a Spark
+        # re-read pays a second full job's latency for metadata
+        import pyarrow.parquet as pq
+
+        total = 0
+        for root, _dirs, names in os.walk(manifest_path):
+            for fn in names:
+                if fn.endswith(".parquet"):
+                    total += pq.ParquetFile(
+                        os.path.join(root, fn)
+                    ).metadata.num_rows
+        return total
     return manifest.count()

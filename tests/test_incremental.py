@@ -555,6 +555,48 @@ class TestDeltaPath:
         assert s["delta_path"] is True
         assert _tree_files(out_full) == _tree_files(out_incr)
 
+    def test_tile_granularity_spark_twins_byte_parity(
+        self, spark, tmp_path, monkeypatch
+    ):
+        """The r5 driver fast paths (pyarrow stage-2 writes, pandas
+        manifest merges, numpy changed-roots, thread-pool unlinks) are
+        latency optimizations with distributed Spark twins behind
+        _MAX_DRIVER_TILES / _MAX_DRIVER_UNLINKS. Forcing both budgets to 0
+        routes every tile-granularity bookkeeping step through the Spark
+        twins — bytes must still match a full rebuild."""
+        from i3dm_export_spark.plans import incremental as incr
+
+        monkeypatch.setattr(incr, "_MAX_DRIVER_TILES", 0)
+        monkeypatch.setattr(incr, "_MAX_DRIVER_UNLINKS", 0)
+        base, batch, full = _split(spark, 900, 750)
+        out_full = str(tmp_path / "full")
+        run_export(full, OPTS, out_full, bounds=BB)
+        out_incr = str(tmp_path / "incr")
+        run_export(base, OPTS, out_incr, bounds=BB)
+        s = incremental_append(batch, out_incr)
+        assert s["delta_path"] is True
+        assert _tree_files(out_full) == _tree_files(out_incr)
+
+    def test_driver_unlink_threshold_routes_distributed(
+        self, spark, tmp_path, monkeypatch
+    ):
+        """With the manifest merge on the driver path but the unlink
+        budget at 0, removals must still happen (via the executor-side
+        mapInPandas) — no stale content file survives a split flip."""
+        from i3dm_export_spark.plans import incremental as incr
+
+        monkeypatch.setattr(incr, "_MAX_DRIVER_UNLINKS", 0)
+        base, batch, full = _split(spark, 900, 700)
+        out_full = str(tmp_path / "full")
+        run_export(full, OPTS, out_full, bounds=BB)
+        out_incr = str(tmp_path / "incr")
+        run_export(base, OPTS, out_incr, bounds=BB)
+        s = incremental_append(batch, out_incr)
+        # parity implies every removed-tile file is gone and every
+        # current file present, whichever unlink path ran
+        assert _tree_files(out_full) == _tree_files(out_incr)
+        assert s["n_removed_files"] >= 0
+
     def test_delta_engages_under_clustering(self, spark, tmp_path):
         """Clustering assigns an instance to its leaf AND every over-full
         ancestor (multi-row stage-3) — the covered-row dedup inside the
