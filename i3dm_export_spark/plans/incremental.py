@@ -640,10 +640,8 @@ def incremental_append(
             (cy[bm] >> s).tolist(),
         ))
         n_affected_roots = len(roots)
-        affected_roots = spark.createDataFrame(
-            sorted((int(a), int(b), int(c)) for a, b, c in roots),
-            schema="root_level int, root_x bigint, root_y bigint",
-        )
+        roots_set = roots
+        affected_roots = None
     else:
         old_tiles = ckpt.read("stage2_tiles")
         changed_keys = _changed_tile_keys(old_tiles, tiles)
@@ -651,19 +649,41 @@ def incremental_append(
             changed_keys, subtree_levels
         ).localCheckpoint()
         n_affected_roots = affected_roots.count()
+        roots_set = None
     _mark("subtrees.changed_roots")
-    subs_df = subtree.build_subtrees_spark(
-        tiles, subtree_levels, roots=affected_roots
-    )
-    sub_files = subs_df.select(
-        F.format_string("%d_%d_%d.subtree", "root_level", "root_x", "root_y")
-        .alias("relpath"),
-        "payload",
-    )
     sub_manifest_dir = os.path.join(ckpt_root, "_sink_manifests", "subtrees")
     sub_incr_dir = os.path.join(ckpt_root, "_sink_manifests", "_subtrees_incr")
-    sinks.write_binary_files(sub_files, subtrees_dir,
-                             manifest_path=sub_incr_dir)
+    if (
+        roots_set is not None
+        and tiles_pdf is not None
+        and n_affected_roots <= _MAX_DRIVER_SUBTREE_WRITES
+    ):
+        # driver fast path: a localized append touches a handful of
+        # subtrees — assemble their (bounded) bitstreams from the driver
+        # tiles frame and write the files with a thread pool instead of
+        # paying a tile-row shuffle + mapInPandas job; the distributed
+        # assembly below handles big affected sets (byte-parity-tested
+        # via a monkeypatched _MAX_DRIVER_SUBTREE_WRITES)
+        _assemble_subtrees_driver(
+            tiles_pdf, roots_set, subtree_levels, subtrees_dir, sub_incr_dir
+        )
+    else:
+        if affected_roots is None:
+            affected_roots = spark.createDataFrame(
+                sorted((int(a), int(b), int(c)) for a, b, c in roots_set),
+                schema="root_level int, root_x bigint, root_y bigint",
+            )
+        subs_df = subtree.build_subtrees_spark(
+            tiles, subtree_levels, roots=affected_roots
+        )
+        sub_files = subs_df.select(
+            F.format_string("%d_%d_%d.subtree",
+                            "root_level", "root_x", "root_y")
+            .alias("relpath"),
+            "payload",
+        )
+        sinks.write_binary_files(sub_files, subtrees_dir,
+                                 manifest_path=sub_incr_dir)
     _mark("subtrees.assemble_write")
     if _parquet_rows(sub_manifest_dir) <= _MAX_DRIVER_TILES:
         # driver fast path (O(subtree files) — strictly below O(tiles)):
@@ -927,6 +947,11 @@ _MAX_DRIVER_TILES = 4_000_000
 #: largest removed-file set unlinked from the driver (thread pool);
 #: beyond it deletions run distributed on the executors (VERDICT r4 #8)
 _MAX_DRIVER_UNLINKS = 100_000
+#: largest affected-subtree set assembled + written from the driver; a
+#: localized append touches a handful of subtrees, for which a tile-row
+#: shuffle + mapInPandas job costs more than the payloads themselves.
+#: Beyond it assembly runs via build_subtrees_spark (executor writes).
+_MAX_DRIVER_SUBTREE_WRITES = 10_000
 
 _ARROW_TYPES = {
     "int32": "int32", "int64": "int64", "bool": "bool_", "string": "string",
@@ -1236,6 +1261,79 @@ def _delta_refresh(
         "n_rewritten_source_files": len(dirty_files),
         "walls": dwalls,
     }
+
+
+def _assemble_subtrees_driver(
+    tiles_pdf, roots: set, subtree_levels: int,
+    subtrees_dir: str, manifest_dir: str,
+) -> None:
+    """Driver twin of ``build_subtrees_spark(roots=...)`` + the executor
+    sink, for small affected-root sets: same per-root row selection, same
+    existence rule (any interior row with content), same serialized bytes
+    (the bitstring builders are shared), same atomic-replace write with
+    content-compare fast path, same (relpath, n_bytes, content_md5)
+    manifest parquet."""
+    import hashlib
+    import uuid
+    from concurrent.futures import ThreadPoolExecutor
+
+    import numpy as np
+    import pandas as pd
+
+    from ..operators.subtree import serialize_subtree, subtree_bitstrings
+
+    s = subtree_levels
+    levels = tiles_pdf["level"].to_numpy(np.int64)
+    xs = tiles_pdf["x"].to_numpy(np.int64)
+    ys = tiles_pdf["y"].to_numpy(np.int64)
+    hc = tiles_pdf["n_instances"].to_numpy(np.int64) > 0
+
+    payloads: list[tuple[str, bytes]] = []
+    for rl, rx, ry in sorted(roots):
+        ll = levels - rl
+        sel = (ll >= 0) & (ll <= s)
+        sel &= (xs >> np.maximum(ll, 0)) == rx
+        sel &= (ys >> np.maximum(ll, 0)) == ry
+        # a subtree file exists iff it records any content: some interior
+        # row (local level < s) with instances below it — the exact rule
+        # of _assemble_root_group / build_subtrees_pandas
+        if not bool((sel & (ll < s) & hc).any()):
+            continue
+        bits = subtree_bitstrings(tiles_pdf[sel], rl, rx, ry, s)
+        payloads.append(
+            (f"{int(rl)}_{int(rx)}_{int(ry)}.subtree",
+             serialize_subtree(*bits))
+        )
+
+    os.makedirs(subtrees_dir, exist_ok=True)
+
+    def _write(item: tuple[str, bytes]) -> tuple[str, int, str]:
+        rel, b = item
+        final = os.path.join(subtrees_dir, rel)
+        current = False
+        try:
+            if os.path.getsize(final) == len(b):
+                with open(final, "rb") as f:
+                    current = f.read() == b
+        except OSError:
+            pass
+        if not current:
+            tmp = f"{final}.tmp.{uuid.uuid4().hex}"
+            with open(tmp, "wb") as f:
+                f.write(b)
+            os.replace(tmp, final)
+        return rel, len(b), hashlib.md5(b).hexdigest()
+
+    if payloads:
+        with ThreadPoolExecutor(max_workers=32) as pool:
+            rows = list(pool.map(_write, payloads))
+    else:
+        rows = []
+    _write_parquet_driver(
+        manifest_dir,
+        pd.DataFrame(rows, columns=["relpath", "n_bytes", "content_md5"]),
+        _MANIFEST_DDL,
+    )
 
 
 def _stage0_additive_tmp(ckpt: CheckpointManager, new_inst: DataFrame) -> str:

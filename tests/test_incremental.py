@@ -577,6 +577,25 @@ class TestDeltaPath:
         assert s["delta_path"] is True
         assert _tree_files(out_full) == _tree_files(out_incr)
 
+    def test_driver_roots_spark_assembly_byte_parity(
+        self, spark, tmp_path, monkeypatch
+    ):
+        """Changed-root diff on the driver but the subtree-write budget at
+        0: affected roots flow into build_subtrees_spark via
+        createDataFrame and files are written by the executor sink —
+        bytes must match a full rebuild."""
+        from i3dm_export_spark.plans import incremental as incr
+
+        monkeypatch.setattr(incr, "_MAX_DRIVER_SUBTREE_WRITES", 0)
+        base, batch, full = _split(spark, 900, 750)
+        out_full = str(tmp_path / "full")
+        run_export(full, OPTS, out_full, bounds=BB)
+        out_incr = str(tmp_path / "incr")
+        run_export(base, OPTS, out_incr, bounds=BB)
+        s = incremental_append(batch, out_incr)
+        assert s["delta_path"] is True
+        assert _tree_files(out_full) == _tree_files(out_incr)
+
     def test_driver_unlink_threshold_routes_distributed(
         self, spark, tmp_path, monkeypatch
     ):
