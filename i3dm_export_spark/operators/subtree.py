@@ -205,6 +205,36 @@ def build_subtrees_pandas(tiles_pdf: pd.DataFrame, subtree_levels: int = 2):
     return out
 
 
+def build_subtrees_pandas_for_roots(tiles_pdf, roots, subtree_levels: int = 2):
+    """Driver twin of ``build_subtrees_spark(roots=...)``: assemble ONLY
+    the requested subtree roots from a collected tiles frame — same row
+    selection (absolute levels [root, root+s] under the root's prefix),
+    same existence rule (any interior row with content, the
+    ``_assemble_root_group`` / :func:`build_subtrees_pandas` rule), same
+    serialized bytes (shared bitstring builders). Returns
+    ``[(root_level, root_x, root_y, payload)]`` in sorted root order.
+    Used by the incremental append's driver fast path for localized
+    batches, where a tile-row shuffle costs more than the payloads."""
+    s = subtree_levels
+    levels = tiles_pdf["level"].to_numpy(np.int64)
+    xs = tiles_pdf["x"].to_numpy(np.int64)
+    ys = tiles_pdf["y"].to_numpy(np.int64)
+    hc = tiles_pdf["n_instances"].to_numpy(np.int64) > 0
+    out = []
+    for rl, rx, ry in sorted(roots):
+        ll = levels - rl
+        sel = (ll >= 0) & (ll <= s)
+        sel &= (xs >> np.maximum(ll, 0)) == rx
+        sel &= (ys >> np.maximum(ll, 0)) == ry
+        if not bool((sel & (ll < s) & hc).any()):
+            continue
+        bits = subtree_bitstrings(
+            tiles_pdf[sel], int(rl), int(rx), int(ry), s
+        )
+        out.append((int(rl), int(rx), int(ry), serialize_subtree(*bits)))
+    return out
+
+
 def subtree_tile_pairs(tiles, subtree_levels: int):
     """(subtree root, tile) pairs as a DataFrame — the distributed analogue
     of the per-root row selection in :func:`build_subtrees_pandas`.

@@ -59,6 +59,26 @@ def input_fingerprint(df: DataFrame) -> str:
     return h.hexdigest()
 
 
+def parquet_rows(path: str) -> int:
+    """Row count of a parquet directory straight from the file footers
+    (pyarrow) — metadata-only, no Spark job. A Spark ``count()`` over the
+    same files is footer-only too but still pays a full job's scheduler
+    latency, and the append/sink paths run several of these on tiny
+    frames. ``path`` is a driver-visible local directory (``file:``
+    prefix tolerated); callers with non-local storage fall back to the
+    engine."""
+    import pyarrow.parquet as pq
+
+    total = 0
+    for root, _dirs, files in os.walk(path.removeprefix("file:")):
+        for fn in files:
+            if fn.endswith(".parquet"):
+                total += pq.ParquetFile(
+                    os.path.join(root, fn)
+                ).metadata.num_rows
+    return total
+
+
 class CheckpointManager:
     def __init__(self, spark: SparkSession, root: str, table_format: str = "parquet"):
         self.spark = spark

@@ -82,6 +82,7 @@ from ..operators import subtree, tiling
 from ..operators.skew import cluster_tiles_salted
 from . import sinks
 from .checkpoint import CheckpointManager
+from .checkpoint import parquet_rows as checkpoint_parquet_rows
 from .pipeline import stage0_instances
 
 TILE_KEY = ["level", "x", "y"]
@@ -498,7 +499,12 @@ def incremental_append(
             yield _pd.DataFrame({"n": [len(pdf)]})
 
     tiles_pdf = getattr(tree, "tiles_pdf", None)
-    n_old_manifest = _parquet_rows(manifest_dir)
+    # footer walks only when the driver path is even possible — on the
+    # big-corpus path (tiles_pdf None) they'd touch every part file of
+    # shared storage for nothing
+    n_old_manifest = (
+        _parquet_rows(manifest_dir) if tiles_pdf is not None else None
+    )
     if tiles_pdf is not None and n_old_manifest <= _MAX_DRIVER_TILES:
         # driver fast path: the manifest is O(tiles) — merge it in pandas
         # and write with pyarrow instead of paying ~4 Spark jobs' latency
@@ -513,7 +519,9 @@ def incremental_append(
         }
         old_m = pd.read_parquet(manifest_dir)
         incr_m = pd.read_parquet(dirty_manifest_dir)
-        removed = [r for r in old_m["relpath"] if r not in cur_rel]
+        removed = old_m.loc[
+            ~old_m["relpath"].isin(cur_rel), "relpath"
+        ].tolist()
         if len(removed) <= _MAX_DRIVER_UNLINKS:
             from concurrent.futures import ThreadPoolExecutor
 
@@ -593,7 +601,8 @@ def incremental_append(
     # subtree file is ever deleted; the manifest is merged like content.
     n_old_tiles = (
         _parquet_rows(ckpt._stage_path("stage2_tiles"))
-        if ckpt.fmt == "parquet" else _MAX_DRIVER_TILES + 1
+        if tiles_pdf is not None and ckpt.fmt == "parquet"
+        else _MAX_DRIVER_TILES + 1
     )
     if tiles_pdf is not None and n_old_tiles <= _MAX_DRIVER_TILES:
         # driver fast path: the bit-relevant diff and the root projection
@@ -629,11 +638,13 @@ def incremental_append(
         lv = chg["level"].to_numpy(np.int64)
         cx = chg["x"].to_numpy(np.int64)
         cy = chg["y"].to_numpy(np.int64)
+        # own (interior) root via the shared mapping; boundary tiles
+        # additionally feed the PARENT subtree's childSubtreeAvailability
+        # (the parent branch of subtree_tile_pairs)
+        orl, orx, ory = subtree.subtree_roots(lv, cx, cy, s)
         bm = (lv % s == 0) & (lv > 0)
         roots = set(zip(
-            (lv - lv % s).tolist(),
-            (cx >> (lv % s)).tolist(),
-            (cy >> (lv % s)).tolist(),
+            orl.tolist(), orx.tolist(), ory.tolist()
         )) | set(zip(
             (lv[bm] - s).tolist(),
             (cx[bm] >> s).tolist(),
@@ -653,11 +664,9 @@ def incremental_append(
     _mark("subtrees.changed_roots")
     sub_manifest_dir = os.path.join(ckpt_root, "_sink_manifests", "subtrees")
     sub_incr_dir = os.path.join(ckpt_root, "_sink_manifests", "_subtrees_incr")
-    if (
-        roots_set is not None
-        and tiles_pdf is not None
-        and n_affected_roots <= _MAX_DRIVER_SUBTREE_WRITES
-    ):
+    # roots_set non-None implies tiles_pdf non-None (set only by the
+    # driver changed-roots branch above)
+    if roots_set is not None and n_affected_roots <= _MAX_DRIVER_SUBTREE_WRITES:
         # driver fast path: a localized append touches a handful of
         # subtrees — assemble their (bounded) bitstreams from the driver
         # tiles frame and write the files with a thread pool instead of
@@ -685,8 +694,12 @@ def incremental_append(
         sinks.write_binary_files(sub_files, subtrees_dir,
                                  manifest_path=sub_incr_dir)
     _mark("subtrees.assemble_write")
-    if _parquet_rows(sub_manifest_dir) <= _MAX_DRIVER_TILES:
-        # driver fast path (O(subtree files) — strictly below O(tiles)):
+    if (
+        tiles_pdf is not None
+        and _parquet_rows(sub_manifest_dir) <= _MAX_DRIVER_TILES
+    ):
+        # driver fast path (O(subtree files) — strictly below O(tiles);
+        # tiles_pdf gates the footer walk itself off the big-corpus path):
         # pandas merge + pyarrow write; distributed twin beyond
         import pandas as pd
 
@@ -1277,33 +1290,16 @@ def _assemble_subtrees_driver(
     import uuid
     from concurrent.futures import ThreadPoolExecutor
 
-    import numpy as np
     import pandas as pd
 
-    from ..operators.subtree import serialize_subtree, subtree_bitstrings
+    from ..operators.subtree import build_subtrees_pandas_for_roots
 
-    s = subtree_levels
-    levels = tiles_pdf["level"].to_numpy(np.int64)
-    xs = tiles_pdf["x"].to_numpy(np.int64)
-    ys = tiles_pdf["y"].to_numpy(np.int64)
-    hc = tiles_pdf["n_instances"].to_numpy(np.int64) > 0
-
-    payloads: list[tuple[str, bytes]] = []
-    for rl, rx, ry in sorted(roots):
-        ll = levels - rl
-        sel = (ll >= 0) & (ll <= s)
-        sel &= (xs >> np.maximum(ll, 0)) == rx
-        sel &= (ys >> np.maximum(ll, 0)) == ry
-        # a subtree file exists iff it records any content: some interior
-        # row (local level < s) with instances below it — the exact rule
-        # of _assemble_root_group / build_subtrees_pandas
-        if not bool((sel & (ll < s) & hc).any()):
-            continue
-        bits = subtree_bitstrings(tiles_pdf[sel], rl, rx, ry, s)
-        payloads.append(
-            (f"{int(rl)}_{int(rx)}_{int(ry)}.subtree",
-             serialize_subtree(*bits))
+    payloads = [
+        (f"{rl}_{rx}_{ry}.subtree", payload)
+        for rl, rx, ry, payload in build_subtrees_pandas_for_roots(
+            tiles_pdf, roots, subtree_levels
         )
+    ]
 
     os.makedirs(subtrees_dir, exist_ok=True)
 
@@ -1376,19 +1372,8 @@ def _stage_to_tmp(ckpt: CheckpointManager, stage: str, df: DataFrame) -> str:
     return tmp
 
 
-def _parquet_rows(path: str) -> int:
-    """Row count from parquet footers directly (pyarrow) — the Spark
-    ``count()`` here is footer-only too, but still pays a full job's
-    scheduler latency; an append runs several of these, so the fixed costs
-    add up at small batch sizes."""
-    import pyarrow.parquet as pq
-
-    total = 0
-    for root, _dirs, files in os.walk(path):
-        for fn in files:
-            if fn.endswith(".parquet"):
-                total += pq.ParquetFile(os.path.join(root, fn)).metadata.num_rows
-    return total
+# row count from parquet footers, no Spark job — shared with the sinks
+_parquet_rows = checkpoint_parquet_rows
 
 
 def _swap_in(ckpt: CheckpointManager, stage: str, tmp: str,

@@ -88,15 +88,11 @@ def write_binary_files(
     if manifest_path:
         manifest.write.mode("overwrite").parquet(manifest_path)
         # row count straight off the written footers (pyarrow) — a Spark
-        # re-read pays a second full job's latency for metadata
-        import pyarrow.parquet as pq
+        # re-read pays a second full job's latency for metadata; non-local
+        # manifest roots (hdfs://, s3a://) keep the engine count
+        from .checkpoint import parquet_rows
 
-        total = 0
-        for root, _dirs, names in os.walk(manifest_path):
-            for fn in names:
-                if fn.endswith(".parquet"):
-                    total += pq.ParquetFile(
-                        os.path.join(root, fn)
-                    ).metadata.num_rows
-        return total
+        if os.path.isdir(manifest_path.removeprefix("file:")):
+            return parquet_rows(manifest_path)
+        return files.sparkSession.read.parquet(manifest_path).count()
     return manifest.count()

@@ -558,12 +558,13 @@ class TestDeltaPath:
     def test_tile_granularity_spark_twins_byte_parity(
         self, spark, tmp_path, monkeypatch
     ):
-        """The r5 driver fast paths (pyarrow stage-2 writes, pandas
-        manifest merges, numpy changed-roots, thread-pool unlinks) are
-        latency optimizations with distributed Spark twins behind
-        _MAX_DRIVER_TILES / _MAX_DRIVER_UNLINKS. Forcing both budgets to 0
-        routes every tile-granularity bookkeeping step through the Spark
-        twins — bytes must still match a full rebuild."""
+        """The r5 driver fast paths gated on _MAX_DRIVER_TILES (pandas
+        manifest merges, numpy changed-roots) and _MAX_DRIVER_UNLINKS
+        (thread-pool unlinks) are latency optimizations with distributed
+        Spark twins behind the budgets; forcing both to 0 routes those
+        steps through the twins — bytes must still match a full rebuild.
+        (The pyarrow stage-2 writes key on the CELL budget and are
+        exercised by test_distributed_twin_byte_parity instead.)"""
         from i3dm_export_spark.plans import incremental as incr
 
         monkeypatch.setattr(incr, "_MAX_DRIVER_TILES", 0)

@@ -175,6 +175,28 @@ class TestDistributedSubtrees:
             for k, (tb, cb, chb, data) in subs_p.items():
                 assert subs_s[k] == (tb, cb, chb, data)
 
+    def test_for_roots_matches_full_pandas_build(self, spark):
+        """build_subtrees_pandas_for_roots (the append's driver fast path)
+        must return byte-identical payloads to the full pandas build for
+        any requested subset, and skip requested roots that record no
+        content — the same existence rule as the full build."""
+        from i3dm_export_spark.operators import tiling
+
+        tree = self._tree(spark)
+        tiles_pdf = tiling.collect_tiles(tree)
+        for s in (2, 3):
+            full = subtree.build_subtrees_pandas(tiles_pdf, subtree_levels=s)
+            keys = sorted(full)
+            subset = set(keys[::2])
+            # also request a root that cannot exist (deep empty corner)
+            ghost = (keys[-1][0], keys[-1][1] + 10_000, keys[-1][2] + 10_000)
+            got = subtree.build_subtrees_pandas_for_roots(
+                tiles_pdf, subset | {ghost}, subtree_levels=s
+            )
+            assert {(rl, rx, ry) for rl, rx, ry, _p in got} == subset
+            for rl, rx, ry, payload in got:
+                assert payload == full[(rl, rx, ry)][3]
+
     def test_groups_are_tile_bounded(self, spark):
         # the shuffle key is the subtree root; a group holds at most the
         # subtree's interior slots + child-root slots, never instances
