@@ -1031,7 +1031,13 @@ def _delta_refresh(
     O(cells), descent O(tiles), covered scan O(files intersecting the
     dirty region), reassignment O(batch + covered), stage-3 refresh =
     hard-links for clean files + a rewrite of only the dirty-region files.
-    No full-corpus shuffle anywhere. Up to _MAX_DRIVER_CELLS the
+    No full-corpus shuffle anywhere. The one remaining O(corpus) term in
+    the whole append is OUTSIDE this function: the append-only url guard
+    scans the corpus's url column once (column-pruned, shuffle-free
+    broadcast semi-join — a bandwidth pass, not a recompute). At 10^12
+    rows the production seam for that guard is a membership sidecar
+    (parquet column bloom filters on url, or an Iceberg equality-delete
+    index); the guard's join shape stays the same. Up to _MAX_DRIVER_CELLS the
     tiles/cells-granularity steps run in pandas on the driver, keeping the
     fixed Spark-job count minimal (~8 jobs — at small batch sizes per-job
     latency, not data, dominates); beyond it the SAME steps run as
